@@ -1,0 +1,324 @@
+"""Pairwise string-similarity kernels (reference: /root/reference/src/features/feautre_extraction.py).
+
+The container ships neither rapidfuzz, jellyfish nor scipy, so every kernel is
+implemented from scratch (numpy + bit-parallel tricks) with semantics pinned to
+the reference:
+
+  * ``jaccard``             — token-set Jaccard; both-empty ⇒ 1.0 (feautre_extraction.py:16-22)
+  * ``lcs_len``             — longest common *subsequence*, bit-parallel
+                              Allison–Dix/Hyyrö (DP at feautre_extraction.py:26-38)
+  * ``lcs_ratio``           — lcs / max(len); both-empty ⇒ 1.0 (:41-43)
+  * ``edit_ratio``          — rapidfuzz ``fuzz.ratio``/100 == normalized indel
+                              similarity == 2·LCS/(|a|+|b|); both-empty ⇒ 1.0 (:47-48)
+  * ``jaro_winkler``        — standard Jaro-Winkler (prefix≤4, p=0.1, boost>0.7),
+                              matching jellyfish/DuckDB (:51-52)
+  * ``metaphone``           — classic Lawrence Philips Metaphone (published
+                              algorithm; used for dmetaphone_match, :56-59)
+  * ``rowwise_cosine_csr``  — paired-row cosine over CSR matrices, zero-norm
+                              denominator forced to 1.0 (:63-75)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Set, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Jaccard
+# ---------------------------------------------------------------------------
+def jaccard(a: Set[str], b: Set[str]) -> float:
+    """Token-set Jaccard; both-empty ⇒ 1.0, one-empty ⇒ 0.0."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    u = len(a | b)
+    return (len(a & b) / u) if u else 0.0
+
+
+def jaccard_batch(a_sets: Sequence[Set[str]], b_sets: Sequence[Set[str]]) -> np.ndarray:
+    return np.fromiter((jaccard(a, b) for a, b in zip(a_sets, b_sets)), dtype=np.float64, count=len(a_sets))
+
+
+# ---------------------------------------------------------------------------
+# LCS (bit-parallel) + the two ratios that derive from it
+# ---------------------------------------------------------------------------
+def lcs_len(a: str, b: str) -> int:
+    """Longest common subsequence length, O(|a| · |b|/64) bit-parallel."""
+    n = len(b)
+    if n == 0 or len(a) == 0:
+        return 0
+    match: Dict[str, int] = {}
+    for j, ch in enumerate(b):
+        match[ch] = match.get(ch, 0) | (1 << j)
+    full = (1 << n) - 1
+    s = full
+    for ch in a:
+        m = match.get(ch, 0)
+        u = s & m
+        s = ((s + u) | (s - u)) & full
+    return n - bin(s).count("1")
+
+
+def lcs_ratio(a: str, b: str) -> float:
+    """lcs / max(len); both-empty ⇒ 1.0."""
+    den = max(len(a), len(b))
+    return (lcs_len(a, b) / den) if den else 1.0
+
+
+def edit_ratio(a: str, b: str) -> float:
+    """Normalized indel similarity (== rapidfuzz fuzz.ratio / 100):
+    1 − indel_dist/(|a|+|b|) with indel_dist = |a|+|b|−2·LCS."""
+    tot = len(a) + len(b)
+    return (2.0 * lcs_len(a, b) / tot) if tot else 1.0
+
+
+def lcs_and_edit_batch(a_list: Sequence[str], b_list: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Compute lcs_ratio and edit_ratio together, sharing one LCS pass per pair."""
+    n = len(a_list)
+    lcs_out = np.empty(n, dtype=np.float64)
+    edit_out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a, b = a_list[i], b_list[i]
+        l = lcs_len(a, b)
+        mx = max(len(a), len(b))
+        tot = len(a) + len(b)
+        lcs_out[i] = (l / mx) if mx else 1.0
+        edit_out[i] = (2.0 * l / tot) if tot else 1.0
+    return lcs_out, edit_out
+
+
+# ---------------------------------------------------------------------------
+# Jaro / Jaro-Winkler
+# ---------------------------------------------------------------------------
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        ai = a[i]
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ai:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Standard Jaro-Winkler: prefix bonus (≤4 chars) applied when jaro > 0.7 —
+    matches jellyfish.jaro_winkler_similarity and DuckDB jaro_winkler_similarity."""
+    j = jaro(a, b)
+    if j > boost_threshold:
+        prefix = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            prefix += 1
+        j += prefix * prefix_weight * (1.0 - j)
+    return j
+
+
+def jaro_winkler_batch(a_list: Sequence[str], b_list: Sequence[str]) -> np.ndarray:
+    return np.fromiter(
+        (jaro_winkler(a, b) for a, b in zip(a_list, b_list)), dtype=np.float64, count=len(a_list)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metaphone (classic Lawrence Philips 1990 algorithm, published rules)
+# ---------------------------------------------------------------------------
+_VOWELS = "aeiou"
+
+
+def metaphone(word: str) -> str:
+    """Classic Metaphone phonetic code. Implemented from the published rule set;
+    used only for equality comparison (dmetaphone_match, feautre_extraction.py:56-59)."""
+    s = "".join(ch for ch in word.lower() if ch.isalpha())
+    if not s:
+        return ""
+    # initial-letter exceptions
+    if s[:2] in ("ae", "gn", "kn", "pn", "wr"):
+        s = s[1:]
+    elif s[0] == "x":
+        s = "s" + s[1:]
+    elif s[:2] == "wh":
+        s = "w" + s[2:]
+
+    out: List[str] = []
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
+        # drop duplicate adjacent letters except c
+        if i > 0 and c == s[i - 1] and c != "c":
+            i += 1
+            continue
+        nxt = s[i + 1] if i + 1 < n else ""
+        nxt2 = s[i + 2] if i + 2 < n else ""
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and i > 0 and s[i - 1] == "m"):
+                out.append("B")
+        elif c == "c":
+            if nxt == "i" and nxt2 == "a":
+                out.append("X")
+            elif nxt == "h":
+                # -SCH- → K, else -CH- → X
+                out.append("K" if (i > 0 and s[i - 1] == "s") else "X")
+                i += 1  # consume the h
+            elif nxt in "iey":
+                if not (i > 0 and s[i - 1] == "s"):
+                    out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "eiy":
+                out.append("J")
+                i += 1
+            else:
+                out.append("T")
+        elif c in "fjlmnr":
+            out.append(c.upper())
+        elif c == "g":
+            if nxt == "h":
+                if not (i + 2 == n or nxt2 in _VOWELS):
+                    pass  # silent gh
+                else:
+                    out.append("K")
+                    i += 1
+            elif nxt == "n":
+                pass  # silent in gn / gned
+            elif nxt in "eiy":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            prev = s[i - 1] if i > 0 else ""
+            if prev in _VOWELS and nxt not in _VOWELS:
+                pass  # silent after vowel with no vowel following
+            elif prev in "csptg":
+                pass  # handled by the consonant rule
+            else:
+                out.append("H")
+        elif c == "k":
+            if not (i > 0 and s[i - 1] == "c"):
+                out.append("K")
+        elif c == "p":
+            if nxt == "h":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h":
+                out.append("X")
+                i += 1
+            elif nxt == "i" and nxt2 in "oa":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if nxt == "i" and nxt2 in "oa":
+                out.append("X")
+            elif nxt == "h":
+                out.append("0")
+                i += 1
+            elif nxt == "c" and nxt2 == "h":
+                pass  # silent in -tch-
+            else:
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("KS")
+        elif c == "y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c == "z":
+            out.append("S")
+        i += 1
+    return "".join(out)
+
+
+def dmetaphone_match_first_token(a_tokens: Sequence[str], b_tokens: Sequence[str]) -> int:
+    """metaphone(first token) equality → 0/1; empty token list ⇒ 0
+    (feautre_extraction.py:56-59)."""
+    if not a_tokens or not b_tokens:
+        return 0
+    return int(metaphone(a_tokens[0]) == metaphone(b_tokens[0]))
+
+
+def dmetaphone_match_batch(a_tok: Sequence[Sequence[str]], b_tok: Sequence[Sequence[str]]) -> np.ndarray:
+    return np.fromiter(
+        (dmetaphone_match_first_token(a, b) for a, b in zip(a_tok, b_tok)),
+        dtype=np.float64,
+        count=len(a_tok),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paired-row cosine over CSR matrices (no scipy — plain numpy CSR triples)
+# ---------------------------------------------------------------------------
+def rowwise_cosine_csr(
+    indptr_a: np.ndarray,
+    indices_a: np.ndarray,
+    data_a: np.ndarray,
+    indptr_b: np.ndarray,
+    indices_b: np.ndarray,
+    data_b: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+) -> np.ndarray:
+    """cos(A[i], B[i]) for each paired row i; zero-norm denominators forced to
+    1.0 so all-zero rows score 0.0 (feautre_extraction.py:73-74).
+
+    Fully vectorized: encode (row, col) into one int64 key, intersect the two
+    key sets once for the whole batch, scatter-add products back to rows.
+    """
+    rows_a = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_a))
+    rows_b = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_b))
+    key_a = rows_a * np.int64(n_cols) + indices_a.astype(np.int64)
+    key_b = rows_b * np.int64(n_cols) + indices_b.astype(np.int64)
+    common, ia, ib = np.intersect1d(key_a, key_b, assume_unique=True, return_indices=True)
+    num = np.zeros(n_rows, dtype=np.float64)
+    np.add.at(num, (common // np.int64(n_cols)), data_a[ia] * data_b[ib])
+    norm_a = np.sqrt(np.bincount(rows_a, weights=data_a * data_a, minlength=n_rows))
+    norm_b = np.sqrt(np.bincount(rows_b, weights=data_b * data_b, minlength=n_rows))
+    den = norm_a * norm_b
+    den[den == 0.0] = 1.0
+    return num / den
