@@ -104,7 +104,7 @@ def test_jaro_winkler_empty():
 def test_metaphone_known_codes():
     assert strsim.metaphone("knight") == "NT"
     assert strsim.metaphone("school") == "SKL"
-    assert strsim.metaphone("thompson") == "TMSN"
+    assert strsim.metaphone("thompson") == "0MPSN"  # TH → theta ('0')
     assert strsim.metaphone("xavier") == "SFR"
     assert strsim.metaphone("philips") == "FLPS"
     assert strsim.metaphone("wright") == "RT"
