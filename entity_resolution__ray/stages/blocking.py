@@ -1,0 +1,331 @@
+"""Blocking: key generation + candidate-pair emission (the reference's TF-IDF
+brute-kNN blocking re-expressed for scale).
+
+Reference analogues:
+  * T3/T4 — TF-IDF + brute cosine kNN over the whole corpus
+    (/root/reference/scripts/run_blocking.py:14-37). O(N²) with the full
+    matrix on one node; kept here only as ``knn_block_conformance`` for
+    small-scale parity checks.
+  * J2 — candidate generation (run_blocking.py:42-56)
+  * A1/O2 — undirected collapse keep-max (run_blocking.py:59-67)
+  * M10 — canonical min/max pair key (make_candidate_pairs.py:38-43)
+
+Scale path (per BASELINE.json north_star): *standard* (token) and *q-gram
+MinHash* blocking keys computed in ``map_batches`` over Arrow batches; candidate
+pairs via ONE ``groupby(block_key)`` shuffle with explicit hot-key salting
+(groups larger than ``max_group_size`` are deterministically split into
+hash-salted sub-groups — dropped cross-salt pair counts are logged, never
+silent); per-record fan-out bounded by ``per_doc_topk`` (the reference's k).
+The undirected collapse is a second shuffle keyed on the canonical pair.
+
+Partitioning assumptions: block keys are hash-partitioned; a single hot key
+(e.g. token "university") is bounded by salting; the pair key
+(id_left,id_right) is near-unique so the collapse shuffle is balanced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from typing import List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min
+
+logger = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------------------
+# MinHash machinery (shared with dedup stages)
+# ---------------------------------------------------------------------------
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def stable_token_hashes(tokens: Sequence[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes (blake2b) — stable across processes, unlike
+    Python's salted ``hash``."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = np.frombuffer(hashlib.blake2b(t.encode(), digest_size=8).digest(), dtype=np.uint64)[0]
+    return out
+
+
+def char_qgrams(text: str, q: int = 4) -> List[str]:
+    if len(text) < q:
+        return [text] if text else []
+    return [text[i : i + q] for i in range(len(text) - q + 1)]
+
+
+class MinHasher:
+    """n_perm universal-hash MinHash over 64-bit element hashes. Seeded,
+    deterministic, vectorized."""
+
+    def __init__(self, n_perm: int = 8, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, element_hashes: np.ndarray) -> np.ndarray:
+        """(n_elements,) uint64 → (n_perm,) uint64 minhash signature."""
+        if len(element_hashes) == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = element_hashes[None, :]  # (1, n)
+        h = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Blocking-key emission (map_batches — no shuffle)
+# ---------------------------------------------------------------------------
+class BlockKeyEmitter:
+    """Per-doc blocking keys:
+
+    * token keys  — each distinct normalized token with len ≥ min_token_len
+      not in the broadcast stopword set (standard blocking);
+    * q-gram keys — ``n_qgram_bands`` MinHash values over char-4-grams of
+      norm_text (fuzzy blocking: docs within small edit distance collide with
+      high probability).
+
+    Emits (block_key, doc_id, norm_text) rows — norm_text rides along so the
+    pair stage can score without a second join (documented write amplification
+    = avg keys/doc, traded against a doc-table join per J1).
+    """
+
+    def __init__(
+        self,
+        min_token_len: int = 3,
+        n_qgram_bands: int = 2,
+        qgram_size: int = 4,
+        stop_tokens: Optional[Set[str]] = None,
+        use_token_keys: bool = True,
+    ):
+        self.min_token_len = min_token_len
+        self.qgram_size = qgram_size
+        self.n_bands = n_qgram_bands
+        self.hasher = MinHasher(n_perm=n_qgram_bands, seed=1234) if n_qgram_bands > 0 else None
+        self.stop_tokens = stop_tokens or set()
+        self.use_token_keys = use_token_keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        norm_texts = batch["norm_text"].to_pylist()
+        out_key: List[str] = []
+        out_doc: List[str] = []
+        out_text: List[str] = []
+        for did, nt in zip(doc_ids, norm_texts):
+            nt = nt or ""
+            keys: List[str] = []
+            if self.use_token_keys:
+                toks = {
+                    t for t in nt.split(" ") if len(t) >= self.min_token_len and t not in self.stop_tokens
+                }
+                keys.extend(f"t:{t}" for t in sorted(toks))
+            if self.hasher is not None:
+                grams = char_qgrams(nt, self.qgram_size)
+                sig = self.hasher.signature(stable_token_hashes(grams))
+                keys.extend(f"q{b}:{sig[b]:x}" for b in range(self.n_bands))
+            out_key.extend(keys)
+            out_doc.extend([did] * len(keys))
+            out_text.extend([nt] * len(keys))
+        return pa.table({"block_key": out_key, "doc_id": out_doc, "norm_text": out_text})
+
+
+def emit_block_keys(norm_docs: Dataset, **emitter_kwargs) -> Dataset:
+    return norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
+        BlockKeyEmitter,
+        fn_constructor_kwargs=emitter_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pair generation (shuffle #1: groupby block_key, salted)
+# ---------------------------------------------------------------------------
+def _salt_of(doc_id: str, n_sub: int) -> int:
+    return int.from_bytes(hashlib.blake2b(doc_id.encode(), digest_size=4).digest(), "little") % n_sub
+
+
+def _jaccard_token_sim(texts: List[str], ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    sets = [frozenset(t.split(" ")) if t else frozenset() for t in texts]
+    out = np.empty(len(ii), dtype=np.float64)
+    for k in range(len(ii)):
+        a, b = sets[ii[k]], sets[jj[k]]
+        if not a and not b:
+            out[k] = 1.0
+        elif not a or not b:
+            out[k] = 0.0
+        else:
+            inter = len(a & b)
+            out[k] = inter / (len(a) + len(b) - inter)
+    return out
+
+
+class PairEmitter:
+    """map_groups fn over one block_key group → canonical candidate pairs.
+
+    * groups larger than ``max_group_size`` are hash-salted into
+      ceil(g/max_group_size) sub-groups; cross-salt pairs are DROPPED and the
+      count logged (north_rule: explicit skew handling, no silent truncation);
+    * within each sub-group all pairs are scored with token-Jaccard and each
+      doc keeps only its ``per_doc_topk`` best pairs (the reference's kNN k);
+    * output is canonical: id_left < id_right (M10), self-pairs impossible.
+    """
+
+    def __init__(self, max_group_size: int = 256, per_doc_topk: int = 40):
+        self.max_group_size = max_group_size
+        self.per_doc_topk = per_doc_topk
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates("doc_id")
+        g = len(group)
+        empty = pd.DataFrame(
+            {"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object),
+             "block_key": pd.Series(dtype=object), "sim": pd.Series(dtype=np.float64)}
+        )
+        if g < 2:
+            return empty
+        key = group["block_key"].iloc[0]
+        ids = group["doc_id"].to_numpy(dtype=object)
+        texts = group["norm_text"].tolist()
+
+        if g > self.max_group_size:
+            n_sub = -(-g // self.max_group_size)  # ceil
+            salts = np.array([_salt_of(d, n_sub) for d in ids])
+            dropped = g * (g - 1) // 2
+            parts_ii, parts_jj = [], []
+            for s in range(n_sub):
+                members = np.nonzero(salts == s)[0]
+                m = len(members)
+                if m < 2:
+                    continue
+                ti, tj = np.triu_indices(m, 1)
+                parts_ii.append(members[ti])
+                parts_jj.append(members[tj])
+                dropped -= m * (m - 1) // 2
+            logger.info(
+                "blocking: hot key %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
+                key, g, n_sub, dropped,
+            )
+            if not parts_ii:
+                return empty
+            ii = np.concatenate(parts_ii)
+            jj = np.concatenate(parts_jj)
+        else:
+            ii, jj = np.triu_indices(g, 1)
+
+        sim = _jaccard_token_sim(texts, ii, jj)
+
+        # per-doc top-k (kNN semantics): keep a pair if it ranks ≤ k for either endpoint
+        if self.per_doc_topk and len(ii):
+            df = pd.DataFrame({"i": ii, "j": jj, "sim": sim})
+            long = pd.concat(
+                [df[["i", "sim"]].rename(columns={"i": "d"}), df[["j", "sim"]].rename(columns={"j": "d"})]
+            )
+            long["pair"] = np.tile(np.arange(len(df)), 2)
+            long["rank"] = long.groupby("d")["sim"].rank(method="first", ascending=False)
+            keep_pairs = long.loc[long["rank"] <= self.per_doc_topk, "pair"].unique()
+            df = df.iloc[np.sort(keep_pairs)]
+            ii, jj, sim = df["i"].to_numpy(), df["j"].to_numpy(), df["sim"].to_numpy()
+
+        a = ids[ii]
+        b = ids[jj]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        return pd.DataFrame({"id_left": lo, "id_right": hi, "block_key": key, "sim": sim})
+
+
+def candidate_pairs(
+    block_keys: Dataset,
+    max_group_size: int = 256,
+    per_doc_topk: int = 40,
+) -> Dataset:
+    """block-key rows → canonical candidate pairs, undirected-collapsed.
+
+    Two shuffles: groupby(block_key) for pair emission, groupby(pair) for the
+    keep-max collapse (A1). The collapse keeps max sim across co-occurring
+    blocks and the lexicographically-min block_key as the pair's
+    representative key (deterministic)."""
+    emitter = PairEmitter(max_group_size=max_group_size, per_doc_topk=per_doc_topk)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return emitter(group)
+
+    pairs = block_keys.groupby("block_key").map_groups(emit_pairs, batch_format="pandas")
+    return pairs.groupby(["id_left", "id_right"]).aggregate(
+        Max("sim", alias_name="sim"),
+        Min("block_key", alias_name="block_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-derived stopwords (T7/A4: stopwords_extractor.py:10-22)
+# ---------------------------------------------------------------------------
+def dataset_stopwords(norm_docs: Dataset, freq_cutoff: float = 0.30) -> Set[str]:
+    """Tokens whose document frequency ≥ freq_cutoff. Distributed DF aggregate:
+    flat_map(distinct tokens per doc) → groupby(token).count(); only the small
+    (token, df) result and N come to the driver."""
+    n = norm_docs.count()
+    if n == 0:
+        return set()
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        for nt in batch["norm_text"].to_pylist():
+            toks.extend(set((nt or "").split(" ")) - {""})
+        return pa.table({"token": toks})
+
+    df_counts = (
+        norm_docs.select_columns(["norm_text"])
+        .map_batches(distinct_tokens, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+    cutoff = freq_cutoff * n
+    small = df_counts.filter(expr=f"df >= {cutoff}").take_all()
+    return {r["token"] for r in small}
+
+
+# ---------------------------------------------------------------------------
+# Conformance mode: the reference's exact TF-IDF brute-kNN blocking (T4)
+# ---------------------------------------------------------------------------
+def knn_block_conformance(
+    ids: List[str], texts: List[str], k: int = 40, min_sim: Optional[float] = None
+) -> pd.DataFrame:
+    """Driver-side brute-force cosine kNN over our from-scratch blocking TF-IDF
+    (run_blocking.py:28-56 semantics: self excluded, undirected keep-max).
+    O(N²) — small-scale parity checks ONLY; the scale path is candidate_pairs."""
+    from ..functions.vectorizer import blocking_tfidf
+
+    vec = blocking_tfidf().fit(texts)
+    X = vec.transform_dense(texts)  # rows already l2-normalized
+    sims = X @ X.T
+    n = len(ids)
+    k_eff = max(0, min(k, n - 1))
+    rows: List[Tuple[str, str, float]] = []
+    for i in range(n):
+        order = np.argsort(-sims[i])
+        picked = 0
+        for j in order:
+            if j == i:
+                continue
+            s = float(sims[i, j])
+            if min_sim is not None and s < min_sim:
+                continue
+            rows.append((ids[i], ids[j], s))
+            picked += 1
+            if picked >= k_eff:
+                break
+    df = pd.DataFrame(rows, columns=["src_id", "cand_id", "cosine_sim"])
+    if df.empty:
+        return pd.DataFrame(columns=["id_left", "id_right", "sim"])
+    lo = np.minimum(df["src_id"], df["cand_id"])
+    hi = np.maximum(df["src_id"], df["cand_id"])
+    out = pd.DataFrame({"id_left": lo, "id_right": hi, "sim": df["cosine_sim"]})
+    return out.groupby(["id_left", "id_right"], as_index=False)["sim"].max()
