@@ -1,0 +1,207 @@
+"""Pairwise feature extraction — the 8-feature string-similarity kernel as a
+stateful actor-pool ``map_batches`` stage.
+
+Reference analogue: ``build_matching_features``
+(/root/reference/src/features/feautre_extraction.py:116-163) producing
+SELECTED_FEATURES (:104-113). Kernel edge-case semantics live in
+``functions.strsim`` / ``functions.vectorizer``.
+
+Fit-scope note (SURVEY.md §2.8 caveat): the reference fits the pair TF-IDF
+vectorizers over the whole candidate file in one call (:139-141). At scale a
+corpus-global fit is frozen once (driver/sample or distributed DF aggregate),
+broadcast via ``ray.put`` and reused by every actor — same model inputs,
+documented divergence from per-file fit. The bag-of-words count cosine is
+fit-scope-INVARIANT (terms outside either side contribute nothing), so it is
+fit per batch with no broadcast at all.
+
+Text attachment (J1): pairs carry only ids; texts are attached either by
+broadcasting the (small) id→norm_text table via ``ray.put`` and hash-lookup in
+each actor, or — when the doc table is too large for one object — by two
+distributed hash joins (``Dataset.join``) on id_left/id_right.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..functions import strsim
+from ..functions.vectorizer import Vectorizer, pair_char_tfidf, pair_count_vectorizer, pair_word_tfidf
+from ..schema import FEATURE_COLS
+
+
+# ---------------------------------------------------------------------------
+# fitting the global pair vectorizers (driver-side over an iterator of texts)
+# ---------------------------------------------------------------------------
+def fit_pair_vectorizers(norm_docs: Dataset, sample_limit: Optional[int] = None):
+    """Fit the word- and char-TF-IDF pair vectorizers over the corpus's
+    norm_text column, streaming batches to the driver (only term→df maps are
+    held in memory). With ``sample_limit``, fit on a bounded sample — the
+    scale path for 10^12 docs."""
+    vw = pair_word_tfidf()
+    vc = pair_char_tfidf()
+    dfreq_w: Dict[str, int] = {}
+    dfreq_c: Dict[str, int] = {}
+    n = 0
+    ds = norm_docs.select_columns(["norm_text"])
+    if sample_limit is not None:
+        ds = ds.limit(sample_limit)
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for t in batch["norm_text"].to_pylist():
+            t = t or ""
+            n += 1
+            for term in set(vw.analyze(t)):
+                dfreq_w[term] = dfreq_w.get(term, 0) + 1
+            for term in set(vc.analyze(t)):
+                dfreq_c[term] = dfreq_c.get(term, 0) + 1
+    vw.fit_from_document_frequencies(dfreq_w, n)
+    vc.fit_from_document_frequencies(dfreq_c, n)
+    return vw, vc
+
+
+# ---------------------------------------------------------------------------
+# text attachment (J1)
+# ---------------------------------------------------------------------------
+def broadcast_id_text(norm_docs: Dataset) -> "ray.ObjectRef":
+    """Materialize (doc_id, norm_text) and ``ray.put`` it once; actors read it
+    zero-copy from the object store. Small-side path only."""
+    tbl = pa.concat_tables(
+        list(norm_docs.select_columns(["doc_id", "norm_text"]).iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )
+    return ray.put(tbl)
+
+
+class AttachTexts:
+    """Actor batch fn: add src_text/cand_text from the broadcast id→text table."""
+
+    def __init__(self, id_text_ref):
+        tbl = ray.get(id_text_ref)
+        self.lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["norm_text"].to_pylist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lk = self.lookup
+        src = pa.array([lk.get(d, "") for d in batch["id_left"].to_pylist()], type=pa.string())
+        cand = pa.array([lk.get(d, "") for d in batch["id_right"].to_pylist()], type=pa.string())
+        return batch.append_column("src_text", src).append_column("cand_text", cand)
+
+
+def attach_texts(
+    pairs: Dataset,
+    norm_docs: Dataset,
+    mode: str = "broadcast",
+    num_partitions: int = 32,
+) -> Dataset:
+    """pairs(id_left,id_right,…) + docs(doc_id,norm_text) → + src_text, cand_text.
+
+    mode="broadcast": ray.put the id→text table once, hash-lookup per batch
+    (no shuffle; right-sized when the doc projection fits the object store).
+    mode="join": two distributed hash joins — the 10^12-doc path.
+    """
+    if mode == "broadcast":
+        ref = broadcast_id_text(norm_docs)
+        return pairs.map_batches(
+            AttachTexts,
+            fn_constructor_kwargs={"id_text_ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    docs_l = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
+        {"doc_id": "id_left", "norm_text": "src_text"}
+    )
+    docs_r = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
+        {"doc_id": "id_right", "norm_text": "cand_text"}
+    )
+    out = pairs.join(docs_l, join_type="inner", num_partitions=num_partitions, on=("id_left",))
+    return out.join(docs_r, join_type="inner", num_partitions=num_partitions, on=("id_right",))
+
+
+# ---------------------------------------------------------------------------
+# the feature kernel
+# ---------------------------------------------------------------------------
+def compute_pair_features(
+    src_norm: List[str],
+    cand_norm: List[str],
+    vec_word: Vectorizer,
+    vec_char: Vectorizer,
+) -> Dict[str, np.ndarray]:
+    """8-feature kernel over paired normalized strings (feautre_extraction.py:116-163)."""
+    n = len(src_norm)
+    src_tokens = [s.split(" ") if s else [] for s in src_norm]
+    cand_tokens = [s.split(" ") if s else [] for s in cand_norm]
+    src_sets = [set(t) for t in src_tokens]
+    cand_sets = [set(t) for t in cand_tokens]
+
+    # vector-based sims
+    cv = pair_count_vectorizer().fit(src_norm + cand_norm)  # scope-invariant; per-batch fit
+    ia, ja, da = cv.transform(src_norm)
+    ib, jb, db = cv.transform(cand_norm)
+    token_cos = strsim.rowwise_cosine_csr(ia, ja, da, ib, jb, db, n, cv.n_features)
+
+    iw_a, jw_a, dw_a = vec_word.transform(src_norm)
+    iw_b, jw_b, dw_b = vec_word.transform(cand_norm)
+    tfidf_word_cos = strsim.rowwise_cosine_csr(iw_a, jw_a, dw_a, iw_b, jw_b, dw_b, n, max(vec_word.n_features, 1))
+
+    ic_a, jc_a, dc_a = vec_char.transform(src_norm)
+    ic_b, jc_b, dc_b = vec_char.transform(cand_norm)
+    tfidf_char_cos = strsim.rowwise_cosine_csr(ic_a, jc_a, dc_a, ic_b, jc_b, dc_b, n, max(vec_char.n_features, 1))
+
+    # string-based sims (LCS shared between lcs_ratio and edit_ratio)
+    lcs_r, edit_r = strsim.lcs_and_edit_batch(src_norm, cand_norm)
+    jw = strsim.jaro_winkler_batch(src_norm, cand_norm)
+    jacc = strsim.jaccard_batch(src_sets, cand_sets)
+    dm = strsim.dmetaphone_match_batch(src_tokens, cand_tokens)
+
+    return {
+        "edit_ratio": edit_r,
+        "jaro_winkler": jw,
+        "lcs_ratio": lcs_r,
+        "token_jaccard": jacc,
+        "token_cosine": token_cos,
+        "tfidf_word_cosine": tfidf_word_cos,
+        "tfidf_char_cosine": tfidf_char_cos,
+        "dmetaphone_match": dm,
+    }
+
+
+class FeatureActor:
+    """Actor-pool batch fn: pairs with src_text/cand_text → + 8 feature columns.
+    Fitted vectorizers are read from the object store once per actor."""
+
+    def __init__(self, vec_word_ref, vec_char_ref):
+        self.vec_word: Vectorizer = ray.get(vec_word_ref)
+        self.vec_char: Vectorizer = ray.get(vec_char_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = [t or "" for t in batch["src_text"].to_pylist()]
+        cand = [t or "" for t in batch["cand_text"].to_pylist()]
+        feats = compute_pair_features(src, cand, self.vec_word, self.vec_char)
+        for col in FEATURE_COLS:
+            batch = batch.append_column(col, pa.array(feats[col], type=pa.float64()))
+        return batch
+
+
+def pair_features(
+    pairs_with_texts: Dataset,
+    vec_word: Vectorizer,
+    vec_char: Vectorizer,
+    batch_size: int = 2048,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Score candidate pairs with the 8-feature kernel (actor pool)."""
+    vec_word_ref = ray.put(vec_word)
+    vec_char_ref = ray.put(vec_char)
+    return pairs_with_texts.map_batches(
+        FeatureActor,
+        fn_constructor_kwargs={"vec_word_ref": vec_word_ref, "vec_char_ref": vec_char_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
