@@ -1,44 +1,481 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship ER pipeline over /root/testdata/sf0.001 documents
+(lifted to the interleaved-span shape), returning entity clusters.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one callable per implemented operator family from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text analysis); each
+takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
+
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names, floats rounded identically on both sides). Non-SQL
+operators (MinHash-LSH, SimHash, IVF, language-ID, the full ER pipeline)
+deliberately have no oracle → the driver records a rows-only check.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
+import ray.data as rd
+
+from entity_resolution__ray.functions import strsim
+from entity_resolution__ray.functions.text_norm import tokens_array
+from entity_resolution__ray.stages.clustering import cc_clusters
+from entity_resolution__ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_candidates,
+)
+from entity_resolution__ray.stages.joins import hash_join
+from entity_resolution__ray.stages.similarity import brute_force_topk
+from entity_resolution__ray.stages.text_analysis import (
+    fingerprints,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+_EN_STOPS = "('the','and','of','to','in','is','that','it','for','with','was','this')"
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline (smoke)
+# ---------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Docs → spans → normalize → blocking → features → matcher → constraints
+    → CC clusters, on sf0.001. The matcher is trained on the deterministic
+    fixture corpus (same protocol as the reference's train_classifier.py)."""
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
+    from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
+    from entity_resolution__ray.testgen import generate_corpus
+
+    docs = read_flat_documents_as_docs("/root/testdata/sf0.001")
+
+    # train the matcher on the seeded fixture corpus (small, driver-side)
+    fx_docs, _, fx_pairs = generate_corpus(n_entities=40, seed=42)
+    fx = run_er_pipeline(
+        rd.from_arrow(fx_docs), labeled_pairs=fx_pairs, workdir=None,
+        config=ERConfig(num_partitions=4),
+    )
+    model = fx["model"]
+
+    out = run_er_pipeline(
+        docs, model=model, workdir=None,
+        config=ERConfig(num_partitions=8, use_geo=False, per_doc_topk=20, max_group_size=128),
+    )
+    return out["clusters_cc"]
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- sources / maps / filters (S1, M7, M8) -------------------------
+        "m8_filter_project": _q_filter_project,
+        # --- tokenization (M1/M2) + DF aggregate (A4/T7) -------------------
+        "a4_token_df": _q_token_df,
+        # --- joins (J1) ----------------------------------------------------
+        "j1_revenue_by_nation": _q_revenue_by_nation,
+        # --- grouped aggregates (A2/A5-like) -------------------------------
+        "a2_orders_by_customer": _q_orders_by_customer,
+        # --- canonical pairs + candidate generation (M10/J2) ---------------
+        "j2_block_candidates": _q_block_candidates,
+        # --- pairwise features (F1/F4) -------------------------------------
+        "f_pair_sims": _q_pair_sims,
+        # --- sorts / top-k (O1/O3) -----------------------------------------
+        "o1_topk_docs": _q_topk_docs,
+        # --- connected components + cluster sizes (C4/C7/A5/O3) ------------
+        "c4_connected_components": _q_connected_components,
+        # --- windowed aggregate over the events stream table ---------------
+        "w1_tumbling_window": _q_tumbling_window,
+        # --- dedup ---------------------------------------------------------
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,      # no SQL oracle (LSH)
+        "dedup_simhash": _q_dedup_simhash,          # no SQL oracle
+        # --- similarity search ---------------------------------------------
+        "knn_cosine_topk": _q_knn_cosine,
+        # --- text analysis -------------------------------------------------
+        "text_quality": _q_text_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint_md5": _q_fingerprint,
+        "lang_id": _q_lang_id,                      # heuristic → no SQL oracle
+        # --- the full ER pipeline (classifier → no SQL oracle) -------------
+        "er_clusters": _q_er_clusters,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _q_filter_project(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 30.0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "revenue",
+            pc.round(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])), 4),
+        ).select(["l_orderkey", "l_quantity", "revenue"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
+def _q_token_df(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        toks = tokens_array(t["text"])
+        out = []
+        for lst in toks.to_pylist():
+            out.extend(set(lst or ()))
+        return pa.table({"token": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(distinct_tokens, batch_format="pyarrow").groupby("token").aggregate(
+        Count(alias_name="df")
+    )
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).rename_columns(
+        {"c_custkey": "o_custkey"}
+    )
+    nation = _t(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename_columns(
+        {"n_nationkey": "c_nationkey"}
+    )
+    j = hash_join(orders, cust, on=["o_custkey"], num_partitions=8)
+    j = hash_join(j, nation, on=["c_nationkey"], num_partitions=8)
+    out = j.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="total_price"), Count(alias_name="n_orders")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("total_price"), "total_price", pc.round(t["total_price"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_orders_by_customer(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_price"), "sum_price", pc.round(t["sum_price"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+def _first_token_keys(t: pa.Table) -> pa.Table:
+    toks = tokens_array(t["text"])
+    first = [lst[0] if lst else "" for lst in toks.to_pylist()]
+    return pa.table({"doc_id": t["doc_id"], "k": pa.array(first, type=pa.string())})
+
+
+def _q_block_candidates(sf_dir: str):
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    keyed = ds.map_batches(_first_token_keys, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.not_equal(t["k"], "")), batch_format="pyarrow"
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_left": pd.Series(dtype=np.int64), "id_right": pd.Series(dtype=np.int64),
+                 "block_key": pd.Series(dtype=object)}
+            )
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_left": ids[ii], "id_right": ids[jj], "block_key": g["k"].iloc[0]})
+
+    return keyed.groupby("k").map_groups(emit, batch_format="pandas")
+
+
+def _q_pair_sims(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    left = ds.rename_columns({"doc_id": "id_left", "text": "src_text"})
+    right = ds.map_batches(
+        lambda t: pa.table({"id_left": pc.subtract(t["doc_id"], 1), "cand_text": t["text"]}),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(left, right, on=["id_left"], num_partitions=8)
+
+    def feats(t: pa.Table) -> pa.Table:
+        a = [x or "" for x in t["src_text"].to_pylist()]
+        b = [x or "" for x in t["cand_text"].to_pylist()]
+        jw = np.round(strsim.jaro_winkler_batch(a, b), 6)
+        ja = np.round(
+            strsim.jaccard_batch([set(x.split()) for x in a], [set(x.split()) for x in b]), 6
+        )
+        return pa.table(
+            {
+                "id_left": t["id_left"],
+                "jaro_winkler": pa.array(jw, type=pa.float64()),
+                "token_jaccard": pa.array(ja, type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(feats, batch_format="pyarrow")
+
+
+def _q_topk_docs(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def _q_connected_components(sf_dir: str):
+    """Chain edges within each source group → distributed CC. Oracle: each
+    source group is one component labelled by its min doc_id."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ids = [str(x) for x in sorted(g["doc_id"].tolist())]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object)})
+        return pd.DataFrame({"id_left": ids[:-1], "id_right": ids[1:]})
+
+    edges = ds.groupby("source").map_groups(chain, batch_format="pandas")
+    out = cc_clusters(edges, num_partitions=8, renumber="dense")
+    return out
+
+
+def _q_tumbling_window(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)  # µs → s
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 60.0)), 60.0)
+        return t.append_column("window_start", pc.cast(win, pa.int64()))
+
+    out = ev.map_batches(add_window, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    return exact_dedup(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id"])
+
+
+def _q_dedup_minhash(sf_dir: str):
+    return minhash_lsh_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    return simhash_candidates(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3)
+
+
+def _q_knn_cosine(sf_dir: str):
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 3")
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    out = brute_force_topk(emb, Q, k=10)
+    return out.set_column(
+        out.column_names.index("cosine"), "cosine", pc.round(out["cosine"], 4)
+    )
+
+
+def _q_text_quality(sf_dir: str):
+    out = quality_score(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "punct_ratio": pc.round(t["punct_ratio"], 6),
+                "stop_ratio": pc.round(t["stop_ratio"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    return token_counts(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens"]
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    return fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id", "md5_fp"])
+
+
+def _q_lang_id(sf_dir: str):
+    return language_id(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_er_clusters(sf_dir: str):
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
+    from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
+    from entity_resolution__ray.testgen import generate_corpus
+
+    fx_docs, _, fx_pairs = generate_corpus(n_entities=40, seed=42)
+    fx = run_er_pipeline(
+        rd.from_arrow(fx_docs), labeled_pairs=fx_pairs, workdir=None, config=ERConfig(num_partitions=4)
+    )
+    out = run_er_pipeline(
+        read_flat_documents_as_docs(sf_dir), model=fx["model"], workdir=None,
+        config=ERConfig(num_partitions=8, use_geo=False, per_doc_topk=20, max_group_size=128),
+    )
+    return out["clusters_cc"]
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "m8_filter_project": """
+            SELECT l_orderkey, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem WHERE l_quantity >= 30
+        """,
+        "a4_token_df": """
+            SELECT token, count(*) AS df FROM (
+              SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+              FROM documents
+            ) GROUP BY token
+        """,
+        "j1_revenue_by_nation": """
+            SELECT n.n_name, round(sum(o.o_totalprice), 2) AS total_price, count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "a2_orders_by_customer": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_custkey
+        """,
+        "j2_block_candidates": """
+            WITH keyed AS (
+              SELECT doc_id, regexp_extract(lower(text), '[a-z0-9]+') AS k FROM documents
+            )
+            SELECT a.doc_id AS id_left, b.doc_id AS id_right, a.k AS block_key
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+            WHERE a.k <> ''
+        """,
+        "f_pair_sims": """
+            WITH pairs AS (
+              SELECT a.doc_id AS id_left, a.text AS ta, b.text AS tb
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            tok AS (
+              SELECT id_left, ta, tb,
+                     list_distinct(string_split_regex(trim(ta), '\\s+')) AS la,
+                     list_distinct(string_split_regex(trim(tb), '\\s+')) AS lb
+              FROM pairs
+            )
+            SELECT id_left,
+                   round(jaro_winkler_similarity(ta, tb), 6) AS jaro_winkler,
+                   round(CASE
+                     WHEN len(la) = 0 AND len(lb) = 0 THEN 1.0
+                     WHEN len(la) = 0 OR len(lb) = 0 THEN 0.0
+                     ELSE len(list_intersect(la, lb)) * 1.0 / len(list_distinct(la || lb))
+                   END, 6) AS token_jaccard
+            FROM tok
+        """,
+        "o1_topk_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "c4_connected_components": """
+            WITH comp AS (
+              SELECT doc_id, source,
+                     min(cast(doc_id AS VARCHAR)) OVER (PARTITION BY source) AS root,
+                     count(*) OVER (PARTITION BY source) AS csize
+              FROM documents
+            ),
+            ranked AS (SELECT DISTINCT root FROM comp),
+            ids AS (SELECT root, row_number() OVER (ORDER BY root) - 1 AS cluster_id FROM ranked)
+            SELECT cast(c.doc_id AS VARCHAR) AS node_id, i.cluster_id, c.csize AS cluster_size
+            FROM comp c JOIN ids i ON c.root = i.root
+            WHERE c.csize >= 2
+        """,
+        "w1_tumbling_window": """
+            SELECT user_id, (epoch(ts)::BIGINT // 60) * 60 AS window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "knn_cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)
+            SELECT qid AS query_idx, e.vec_id,
+                   round(list_cosine_similarity(qe, e.embedding), 4) AS cosine
+            FROM q, embeddings e
+            QUALIFY row_number() OVER (
+              PARTITION BY qid ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC
+            ) <= 10
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks, x -> lower(x) IN {_EN_STOPS})) * 1.0
+                         / greatest(len(toks), 1), 6) AS stop_ratio
+            FROM t
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS ws_tokens,
+                   coalesce(list_aggregate(
+                     list_transform(regexp_extract_all(text, '\\w+|[^\\w\\s]'),
+                                    x -> ceil(length(x) / 4.0)::BIGINT), 'sum'), 0)::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id, md5(text) AS md5_fp FROM documents
+        """,
+    }

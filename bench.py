@@ -1,0 +1,145 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+  {"metric": "er_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the same bench twice in FRESH processes at num_cpus=8 and 32
+on the same input and prints throughputs + scaling efficiency
+(= (t8/t32) / (32/8); 1.0 = linear). Evidence for the north_rule's N → 4N
+cluster-size criterion in this single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        return sum(b.num_rows for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return 0
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry_bench__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__ray_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    qs = entry_mod.queries()
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle, not cold reads
+    n_docs = _consume(rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
+    _consume(rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    _consume(rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")))
+    _consume(rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
+    _consume(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+    bench_queries = [
+        "er_clusters",          # headline: full blocking→features→score→CC pipeline
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "knn_cosine_topk",
+        "a4_token_df",
+        "j1_revenue_by_nation",
+        "w1_tumbling_window",
+        "text_quality",
+        "c4_connected_components",
+    ]
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        _consume(qs[name](sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    headline = times["er_clusters"]
+    out = {
+        "metric": "er_pipeline_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 2) if headline > 0 else None,
+        "total_sec": round(sum(times.values()), 3),
+    }
+    ray.shutdown()
+    return out
+
+
+def _run_fresh(num_cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_fresh(lo, sf_dir)
+        r_hi = _run_fresh(hi, sf_dir)
+        tput_lo = r_lo["n_docs"] / r_lo["value"]
+        tput_hi = r_hi["n_docs"] / r_hi["value"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "docs_per_sec_8": round(tput_lo, 2),
+                    "docs_per_sec_32": round(tput_hi, 2),
+                    "queries_8": r_lo["queries"],
+                    "queries_32": r_hi["queries"],
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""The end-to-end entity-resolution pipeline (EP1-EP3 of SURVEY.md §3, minus
+the optional NER stage, as one streaming Ray Data dataflow):
+
+    docs → normalize → block keys → candidate pairs → features → classifier
+         → constraints → transitive clustering → entity clusters
+
+Every stage boundary is a Parquet checkpoint with a lineage manifest
+(pipelines.lineage); a rerun with the same ``workdir`` skips finished stages —
+including mid-closure resume inside connected components.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..stages.blocking import candidate_pairs, emit_block_keys
+from ..stages.classifier import TrainedMatcher, score_pairs, train_pairwise_matcher
+from ..stages.clustering import cc_clusters, cohort_transitivity
+from ..stages.constraints import apply_constraints, split_kept_dropped
+from ..stages.features import fit_pair_vectorizers, pair_features
+from ..stages.joins import attach_doc_columns
+from ..stages.normalize import normalize_docs
+from ..schema import FEATURE_COLS
+from .lineage import checkpoint_stage
+
+
+@dataclass
+class ERConfig:
+    """All thresholds/knobs in one typed config (the reference scatters them:
+    run_blocking.py:103 k=40, apply_constraints.py:79 min_prob=0.45,
+    apply_transitivity.py:189 min_prob=0.60)."""
+
+    per_doc_topk: int = 40
+    max_group_size: int = 256
+    use_token_keys: bool = True
+    n_qgram_bands: int = 2
+    min_token_len: int = 3
+    constraints_min_prob: float = 0.45
+    transitivity_min_prob: float = 0.60
+    use_geo: bool = True
+    use_token_overlap: bool = False
+    attach_mode: str = "broadcast"  # "join" at 10^12-doc scale
+    num_partitions: int = 16
+    vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
+    renumber: str = "dense"
+
+
+def train_matcher_from_labels(
+    features_ds: Dataset,
+    labeled_pairs: pa.Table,
+) -> TrainedMatcher:
+    """Join the (small, driver-held) labeled pair table onto the distributed
+    feature stream by broadcast semi-join, collect ONLY the labeled rows, and
+    run the reference training protocol (driver-side, like the reference)."""
+    want = {
+        (l, r): int(lab)
+        for l, r, lab in zip(
+            labeled_pairs["id_left"].to_pylist(),
+            labeled_pairs["id_right"].to_pylist(),
+            labeled_pairs["label"].to_pylist(),
+        )
+    }
+    want_ref = ray.put(want)
+
+    class LabelJoin:
+        def __init__(self, ref):
+            self.want = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = list(zip(t["id_left"].to_pylist(), t["id_right"].to_pylist()))
+            mask = np.array([k in self.want for k in keys], dtype=bool)
+            t = t.filter(pa.array(mask))
+            labels = [self.want[k] for k, m in zip(keys, mask) if m]
+            return t.append_column("label", pa.array(labels, type=pa.int8()))
+
+    labeled = features_ds.map_batches(
+        LabelJoin, fn_constructor_kwargs={"ref": want_ref}, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    tbl = pa.concat_tables(list(labeled.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    X = np.column_stack([tbl[c].to_numpy(zero_copy_only=False) for c in FEATURE_COLS])
+    y = tbl["label"].to_numpy(zero_copy_only=False)
+    return train_pairwise_matcher(X, y)
+
+
+def run_er_pipeline(
+    docs: Dataset,
+    labeled_pairs: Optional[pa.Table] = None,
+    model: Optional[TrainedMatcher] = None,
+    workdir: Optional[str] = None,
+    config: ERConfig = None,
+) -> Dict[str, object]:
+    """Run the full pipeline. Returns dict with datasets for every stage output
+    plus the trained model. Either ``model`` or ``labeled_pairs`` must be given
+    (labels train a fresh matcher exactly like train_classifier.py)."""
+    cfg = config or ERConfig()
+
+    # 1. normalize (span flatten + tokens + countries); spans pass through untouched
+    norm = checkpoint_stage(normalize_docs(docs), workdir, "01_normalized")
+
+    # 2-3. blocking keys → candidate pairs (salted groupby shuffle + collapse)
+    keys = emit_block_keys(
+        norm,
+        min_token_len=cfg.min_token_len,
+        n_qgram_bands=cfg.n_qgram_bands,
+        use_token_keys=cfg.use_token_keys,
+    )
+    pairs = checkpoint_stage(
+        candidate_pairs(keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk),
+        workdir,
+        "02_candidate_pairs",
+    )
+
+    # 4-5. attach texts (J1) + feature kernel (8 features, actor pool)
+    with_texts = attach_doc_columns(
+        pairs, norm, {"norm_text": ("src_text", "cand_text")},
+        mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+    )
+    vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
+    feats = checkpoint_stage(pair_features(with_texts, vec_word, vec_char), workdir, "03_pair_features")
+
+    # 6. matcher: train on labeled pairs (driver-side protocol) or use given model
+    if model is None:
+        if labeled_pairs is None:
+            raise ValueError("need labeled_pairs or a pre-trained model")
+        model = train_matcher_from_labels(feats, labeled_pairs)
+
+    # 7. score all pairs (actor pool)
+    edges = checkpoint_stage(score_pairs(feats, model), workdir, "04_edges")
+
+    # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
+    edges_sides = attach_doc_columns(
+        edges, norm, {"countries": ("src_countries", "cand_countries")},
+        mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+    )
+    verdict = checkpoint_stage(
+        apply_constraints(
+            edges_sides,
+            min_prob=cfg.constraints_min_prob,
+            use_geo=cfg.use_geo,
+            use_token_overlap=cfg.use_token_overlap,
+        ),
+        workdir,
+        "05_edge_verdicts",
+    )
+    kept, dropped = split_kept_dropped(verdict)
+    kept = checkpoint_stage(kept, workdir, "06_edges_filtered")
+
+    # 9. clustering: flat CC (C7) and cohort transitivity (C5), both resumable
+    cc_dir = os.path.join(workdir, "07_cc") if workdir else None
+    if cc_dir:
+        os.makedirs(cc_dir, exist_ok=True)
+    clusters_flat = checkpoint_stage(
+        cc_clusters(kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=cfg.renumber),
+        workdir,
+        "08_clusters_cc",
+    )
+    coh_dir = os.path.join(workdir, "09_cc_cohort") if workdir else None
+    if coh_dir:
+        os.makedirs(coh_dir, exist_ok=True)
+    clusters_transitive = checkpoint_stage(
+        cohort_transitivity(
+            kept, min_prob=cfg.transitivity_min_prob, checkpoint_dir=coh_dir, num_partitions=cfg.num_partitions
+        ),
+        workdir,
+        "10_clusters_transitive",
+    )
+
+    return {
+        "normalized": norm,
+        "candidate_pairs": pairs,
+        "features": feats,
+        "edges": edges,
+        "edges_filtered": kept,
+        "edges_dropped": dropped,
+        "clusters_cc": clusters_flat,
+        "clusters_transitive": clusters_transitive,
+        "model": model,
+    }
+
+
+def evaluate_pairwise_f1(
+    edges: Dataset,
+    golden_pairs: pa.Table,
+    candidate_pairs_ds: Dataset,
+) -> Dict[str, float]:
+    """Pairwise F1 on labeled pairs *at matched blocking keys* — i.e. restricted
+    to golden pairs that co-occur in some block (BASELINE.json metric).
+
+    Golden pairs never surfaced by blocking are excluded (they share no key, so
+    no engine run could score them — 'evaluated at identical blocking keys')."""
+    cand = {
+        (l, r)
+        for l, r in zip(
+            *(map(lambda c: [row[c] for row in candidate_pairs_ds.select_columns([c]).take_all()],
+                  ("id_left", "id_right")))
+        )
+    }
+    pred = {
+        (r["id_left"], r["id_right"]): r["pred_match"]
+        for r in edges.select_columns(["id_left", "id_right", "pred_match"]).take_all()
+    }
+    tp = fp = fn = tn = 0
+    for l, r, lab in zip(
+        golden_pairs["id_left"].to_pylist(),
+        golden_pairs["id_right"].to_pylist(),
+        golden_pairs["label"].to_pylist(),
+    ):
+        if (l, r) not in cand:
+            continue
+        p = pred.get((l, r), 0)
+        if lab == 1 and p == 1:
+            tp += 1
+        elif lab == 1:
+            fn += 1
+        elif p == 1:
+            fp += 1
+        else:
+            tn += 1
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "n_eval": tp + fp + fn + tn}

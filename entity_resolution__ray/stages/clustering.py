@@ -1,0 +1,315 @@
+"""Transitive closure / clustering (C4-C7): distributed connected components by
+iterative min-label propagation, with per-iteration label checkpoints and
+mid-run resume.
+
+Reference analogues:
+  * DSU union-find (apply_transitivity.py:21-45) — in-memory dicts; replaced by
+    ``groupby(node).min(label)`` label propagation to fixpoint (scales as a
+    sequence of keyed shuffles, one checkpoint per iteration).
+  * cohort-partitioned transitivity (apply_transitivity.py:68-176): strong
+    edges (prob ≥ 0.60, :188) sharing ≥1 country become per-country seed rows
+    (:107-119); closure runs per (cohort, node) composite — a node in two
+    cohorts yields TWO cluster rows, reproduced deliberately (:133-155).
+  * flat CC clustering (apply_clustering_algorithm.py:9-21, threshold 0.45).
+  * dense renumbering by sorted keys (apply_transitivity.py:149-163) — here
+    clusters are renumbered by sorted min-node label; same partition of nodes,
+    cluster-ID numbering order may differ from the reference's DSU-root order
+    (documented divergence; conformance tests compare partitions, not ids).
+  * cluster sizes + final sort (apply_transitivity.py:167-171).
+
+Partitioning: every iteration shuffles messages by node id (hash). Convergence
+in O(component diameter) iterations; entity-resolution components are
+short-diameter so this is a handful of rounds. Labels are strings (min doc_id
+lexicographically — canonical and deterministic under any partitioning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from .joins import hash_join
+
+DEFAULT_TRANSITIVITY_MIN_PROB = 0.60  # apply_transitivity.py:189
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components
+# ---------------------------------------------------------------------------
+def _initial_labels(edges: Dataset, num_partitions: int) -> Dataset:
+    u = edges.select_columns(["u"]).rename_columns({"u": "node"})
+    v = edges.select_columns(["v"]).rename_columns({"v": "node"})
+    nodes = u.union(v).groupby("node").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    return nodes.map_batches(
+        lambda t: t.append_column("label", t["node"]), batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_partitions)
+
+
+_SENTINEL = "￿"  # sorts above every real label
+
+
+def _propagate_once(edges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
+    """One round: every edge pushes min(label_u, label_v) to both endpoints;
+    nodes keep their current label; groupby(node).min.
+
+    Pointer jumping: the current (node → label) relation is unioned into the
+    edge set each round, so a node also receives its label's label —
+    convergence in O(log diameter) rounds instead of O(diameter).
+
+    Output carries BOTH the new label (Min over messages ∪ current) and the
+    node's previous label (Min over the ``old_label`` column, where messages
+    contribute a max-sentinel) — so convergence detection is a cheap scan of
+    the already-materialized result instead of an extra join per iteration."""
+    label_edges = labels.map_batches(
+        lambda t: pa.table({"u": t["node"], "v": t["label"]}).filter(
+            pc.not_equal(t["node"], t["label"])
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges_aug = edges.union(label_edges)
+    lu = labels.rename_columns({"node": "u", "label": "lu"})
+    lv = labels.rename_columns({"node": "v", "label": "lv"})
+    e = hash_join(edges_aug, lu, on=["u"], num_partitions=num_partitions)
+    e = hash_join(e, lv, on=["v"], num_partitions=num_partitions)
+
+    def emit_messages(t: pa.Table) -> pa.Table:
+        m = pc.min_element_wise(t["lu"], t["lv"])
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+        node = pa.chunked_array([u, v]).combine_chunks()
+        label = pa.chunked_array([m, m]).combine_chunks()
+        sent = pa.array([_SENTINEL] * len(node), type=pa.string())
+        return pa.table({"node": node, "label": label, "old_label": sent})
+
+    msgs = e.map_batches(emit_messages, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = labels.map_batches(
+        lambda t: t.append_column("old_label", t["label"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        msgs.union(tagged)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"), Min("old_label", alias_name="old_label"))
+        .repartition(num_partitions)  # bound block count across iterations
+    )
+
+
+def _count_changed(agg: Dataset) -> int:
+    """Changed nodes in a propagate result (scan, no shuffle)."""
+    return agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t["label"], t["old_label"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).count()
+
+
+def connected_components(
+    edges: Dataset,
+    checkpoint_dir: Optional[str] = None,
+    num_partitions: int = 16,
+    max_iters: int = 50,
+) -> Dataset:
+    """edges (u:string, v:string) → labels (node:string, label:string = min
+    node id of the component).
+
+    With ``checkpoint_dir``, each iteration's label table is written to
+    ``labels_iter_K/`` plus ``cc_state.json``; a rerun with the same dir
+    resumes from the latest checkpoint (north_rule: resumable mid-closure).
+    ``max_iters`` bounds one call — if the fixpoint isn't reached the state
+    file records ``converged=false`` and a later call continues.
+    """
+    edges = edges.repartition(num_partitions).materialize()  # reused every iteration
+    start_iter = 0
+    labels: Optional[Dataset] = None
+    state_path = checkpoint_dir and os.path.join(checkpoint_dir, "cc_state.json")
+    if checkpoint_dir and os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+        start_iter = state["iteration"]
+        labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{start_iter}"))
+        if state.get("converged"):
+            return labels
+    if labels is None:
+        labels = _initial_labels(edges, num_partitions)
+        if checkpoint_dir:
+            _checkpoint_labels(labels, checkpoint_dir, 0, converged=False)
+            labels = rd.read_parquet(os.path.join(checkpoint_dir, "labels_iter_0"))
+        else:
+            labels = labels.materialize()  # reused 3× per iteration
+
+    it = start_iter
+    converged = False
+    for it in range(start_iter + 1, start_iter + 1 + max_iters):
+        agg = _propagate_once(edges, labels, num_partitions).materialize()
+        changed = _count_changed(agg)
+        new_labels = agg.drop_columns(["old_label"])  # lazy over materialized blocks
+        if checkpoint_dir:
+            _checkpoint_labels(new_labels, checkpoint_dir, it, converged=False)
+            new_labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{it}"))
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if checkpoint_dir:
+        with open(state_path, "w") as f:
+            json.dump({"iteration": it, "converged": converged}, f)
+    return labels
+
+
+def _checkpoint_labels(labels: Dataset, checkpoint_dir: str, iteration: int, converged: bool) -> None:
+    out = os.path.join(checkpoint_dir, f"labels_iter_{iteration}")
+    tmp = out + ".tmp"
+    labels.write_parquet(tmp)
+    os.replace(tmp, out)  # atomic publish
+    with open(os.path.join(checkpoint_dir, "cc_state.json"), "w") as f:
+        json.dump({"iteration": iteration, "converged": converged}, f)
+
+
+# ---------------------------------------------------------------------------
+# renumbering + sizes (O4 / J5 / A5 / O3)
+# ---------------------------------------------------------------------------
+def clusters_from_labels(
+    labels: Dataset,
+    renumber: str = "dense",
+    num_partitions: int = 16,
+) -> Dataset:
+    """(node, label) → (node_id, cluster_id, cluster_size), sorted by
+    (cluster_id, node_id) (apply_transitivity.py:149-171 semantics).
+
+    renumber="dense": sorted distinct labels → 0..K-1; the per-cluster
+    (ordinal, size) map lives on the driver and is broadcast — one small row
+    per cluster, fine to ~10^8 clusters. No join needed: the same distinct
+    aggregate yields both the ordering and the sizes (J5 collapsed into O4).
+    renumber="hash": cluster_id = stable 63-bit hash of the label; sizes are
+    attached by a distributed join keyed on label (the 10^12-scale path —
+    cluster-id keyspace ≫ partitions, so hash partitions are never empty).
+    """
+    sizes_ds = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+    if renumber == "dense":
+        rows = sizes_ds.sort("label").take_all()
+        mapping = {r["label"]: (i, r["cluster_size"]) for i, r in enumerate(rows)}
+
+        def assign(t: pa.Table) -> pa.Table:
+            labs = t["label"].to_pylist()
+            ids = pa.array([mapping[l][0] for l in labs], type=pa.int64())
+            szs = pa.array([mapping[l][1] for l in labs], type=pa.int64())
+            return pa.table({"node_id": t["node"], "cluster_id": ids, "cluster_size": szs})
+
+        out = labels.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        import hashlib
+
+        def hash_id(label_col) -> pa.Array:
+            return pa.array(
+                [
+                    int.from_bytes(hashlib.blake2b(l.encode(), digest_size=8).digest(), "little") >> 1
+                    for l in label_col.to_pylist()
+                ],
+                type=pa.int64(),
+            )
+
+        joined = hash_join(labels, sizes_ds, on=["label"], num_partitions=num_partitions)
+
+        def assign(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node_id": t["node"], "cluster_id": hash_id(t["label"]), "cluster_size": t["cluster_size"]}
+            )
+
+        out = joined.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["cluster_id", "node_id"])
+
+
+def cc_clusters(
+    edges: Dataset,
+    checkpoint_dir: Optional[str] = None,
+    num_partitions: int = 16,
+    renumber: str = "dense",
+) -> Dataset:
+    """Flat CC clustering (C7 / apply_clustering_algorithm.py): edges
+    (id_left, id_right) → (node_id, cluster_id, cluster_size)."""
+    e = edges.select_columns(["id_left", "id_right"]).rename_columns({"id_left": "u", "id_right": "v"})
+    labels = connected_components(e, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions)
+    return clusters_from_labels(labels, renumber=renumber, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# cohort-partitioned transitivity (C5)
+# ---------------------------------------------------------------------------
+def cohort_seed_edges(edges_with_countries: Dataset, min_prob: float = DEFAULT_TRANSITIVITY_MIN_PROB) -> Dataset:
+    """Strong edges sharing ≥1 country → one seed row per shared country
+    (apply_transitivity.py:107-119). Expects src_countries/cand_countries."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["prob_match"], min_prob)
+        t = t.filter(mask)
+        us, vs, cohorts = [], [], []
+        a_c = t["src_countries"].to_pylist()
+        b_c = t["cand_countries"].to_pylist()
+        ul = t["id_left"].to_pylist()
+        vl = t["id_right"].to_pylist()
+        for i in range(t.num_rows):
+            inter = sorted(set(a_c[i] or ()) & set(b_c[i] or ()))
+            for country in inter:
+                us.append(ul[i])
+                vs.append(vl[i])
+                cohorts.append(country)
+        return pa.table(
+            {
+                "u": pa.array(us, type=pa.string()),
+                "v": pa.array(vs, type=pa.string()),
+                "cohort": pa.array(cohorts, type=pa.string()),
+            }
+        )
+
+    return edges_with_countries.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cohort_transitivity(
+    edges_with_countries: Dataset,
+    min_prob: float = DEFAULT_TRANSITIVITY_MIN_PROB,
+    checkpoint_dir: Optional[str] = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """C5: per-cohort transitive closure → globally renumbered clusters.
+
+    CC runs once over the composite node key ``cohort + '|' + node`` (a node
+    active in two cohorts closes independently in each and yields two cluster
+    rows — reference behavior reproduced, apply_transitivity.py:133-155).
+    Output: (node_id, cluster_id, cluster_size) sorted by (cluster_id, node_id).
+    """
+    seeds = cohort_seed_edges(edges_with_countries, min_prob)
+
+    def composite(t: pa.Table) -> pa.Table:
+        sep = pa.scalar("|")
+        cu = pc.binary_join_element_wise(t["cohort"], t["u"], sep)
+        cv = pc.binary_join_element_wise(t["cohort"], t["v"], sep)
+        return pa.table({"u": cu, "v": cv})
+
+    comp_edges = seeds.map_batches(composite, batch_format="pyarrow", zero_copy_batch=True)
+    labels = connected_components(comp_edges, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions)
+
+    def split_composite(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        labs = t["label"].to_pylist()
+        node_ids = [n.split("|", 1)[1] for n in nodes]
+        return pa.table(
+            {
+                "node_id": pa.array(node_ids, type=pa.string()),
+                "label": pa.array(labs, type=pa.string()),  # cohort|min_node — sorts by (cohort, node)
+            }
+        )
+
+    per_node = labels.map_batches(split_composite, batch_format="pyarrow", zero_copy_batch=True)
+    return clusters_from_labels(
+        per_node.rename_columns({"node_id": "node"}), renumber="dense", num_partitions=num_partitions
+    )

@@ -112,14 +112,16 @@ def attach_texts(
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
+    from .joins import hash_join
+
     docs_l = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
         {"doc_id": "id_left", "norm_text": "src_text"}
     )
     docs_r = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
         {"doc_id": "id_right", "norm_text": "cand_text"}
     )
-    out = pairs.join(docs_l, join_type="inner", num_partitions=num_partitions, on=("id_left",))
-    return out.join(docs_r, join_type="inner", num_partitions=num_partitions, on=("id_right",))
+    out = hash_join(pairs, docs_l, on=["id_left"], num_partitions=num_partitions)
+    return hash_join(out, docs_r, on=["id_right"], num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

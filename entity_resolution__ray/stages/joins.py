@@ -1,0 +1,173 @@
+"""Pair-side lookups (J1): attach per-doc columns onto pair rows for both
+endpoints.
+
+Reference analogue: dict-based id→text mapping (common_methods.py:21-34,
+run_blocking.py:71-76, apply_transitivity.py:99-105).
+
+Two modes:
+  * ``broadcast`` — ``ray.put`` one Arrow projection of the doc table; every
+    actor builds a hash map once in ``__init__`` and looks up per batch. No
+    shuffle. Right whenever the projection fits the object store (id→text of
+    even 10^9 docs ≈ tens of GB — per-partition-pruned broadcast or join
+    beyond that).
+  * ``join`` — two distributed hash joins (``Dataset.join``) keyed on
+    id_left / id_right. The 10^12-doc path; shuffles both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Sequence, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+# ---------------------------------------------------------------------------
+# bucketed hash join (union + groupby cogroup)
+# ---------------------------------------------------------------------------
+# ``Dataset.join`` in Ray 2.49 builds ZERO-COLUMN empty tables for hash
+# partitions that receive no blocks (join.py finalize → ArrowBlockBuilder()
+# .build() with no schema), so any join whose key space is sparse relative to
+# num_partitions fails with "No match ... for key field". This engine instead
+# expresses a distributed hash join as: tag both sides, bucket by key hash,
+# union, groupby(bucket), pandas-merge inside each co-grouped bucket — the
+# exact same shuffle movement, no empty-partition failure mode, and explicit
+# control over bucket count (and bucket-level salting if a key is hot).
+def _bucket_column(t: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Array:
+    cols = [t[k].to_pylist() for k in keys]
+    return pa.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b("\x1f".join(map(str, row)).encode(), digest_size=4).digest(), "little"
+            )
+            % num_buckets
+            for row in zip(*cols)
+        ],
+        type=pa.int32(),
+    )
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as a real pyarrow.Schema (ray's wrapper may carry Python
+    types for datasets created via from_items)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    # non-arrow (e.g. from_items) — infer from one real batch; such datasets
+    # are already materialized so this does not re-execute a long pipeline
+    sample = ds.take_batch(1, batch_format="pyarrow")
+    return sample.schema
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    num_partitions: int = 16,
+    how: str = "inner",
+) -> Dataset:
+    """Distributed hash join on equally-named key columns. Non-key column
+    names must be disjoint between the two sides."""
+    keys = list(on)
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lonly = [c for c in lschema.names if c not in keys]
+    ronly = [c for c in rschema.names if c not in keys]
+    overlap = set(lonly) & set(ronly)
+    if overlap:
+        raise ValueError(f"non-key column collision: {overlap}")
+    ltypes = {c: lschema.field(c).type for c in lonly}
+    rtypes = {c: rschema.field(c).type for c in ronly}
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _bucket_column(t, keys, num_partitions))
+        t = t.append_column("__side", pa.array([0] * t.num_rows, type=pa.int8()))
+        for c in ronly:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
+        return t
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _bucket_column(t, keys, num_partitions))
+        t = t.append_column("__side", pa.array([1] * t.num_rows, type=pa.int8()))
+        for c in lonly:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
+        return t
+
+    col_order = keys + lonly + ronly + ["__bucket", "__side"]
+    lt = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True).select_columns(col_order)
+    rt = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True).select_columns(col_order)
+    u = lt.union(rt)
+
+    key_types = {c: ltypes_field(lschema, c) for c in keys}
+    out_schema = pa.schema(
+        [pa.field(c, key_types[c]) for c in keys]
+        + [pa.field(c, ltypes[c]) for c in lonly]
+        + [pa.field(c, rtypes[c]) for c in ronly]
+    )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        lg = group.loc[group["__side"] == 0, keys + lonly]
+        rg = group.loc[group["__side"] == 1, keys + ronly]
+        m = lg.merge(rg, on=keys, how=how)
+        tbl = pa.Table.from_pandas(m, preserve_index=False)
+        # enforce the declared schema so every block (incl. empty buckets)
+        # is arrow with identical types
+        return tbl.select(out_schema.names).cast(out_schema)
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def ltypes_field(schema: pa.Schema, name: str) -> pa.DataType:
+    return schema.field(name).type
+
+
+class _AttachSides:
+    def __init__(self, table_ref, columns: Dict[str, Tuple[str, str]]):
+        tbl: pa.Table = ray.get(table_ref)
+        ids = tbl["doc_id"].to_pylist()
+        self.maps = []
+        for src_col, (left_name, right_name) in columns.items():
+            vals = tbl[src_col].to_pylist()
+            self.maps.append((dict(zip(ids, vals)), left_name, right_name, tbl.schema.field(src_col).type))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lefts = batch["id_left"].to_pylist()
+        rights = batch["id_right"].to_pylist()
+        for lk, left_name, right_name, typ in self.maps:
+            batch = batch.append_column(left_name, pa.array([lk.get(d) for d in lefts], type=typ))
+            batch = batch.append_column(right_name, pa.array([lk.get(d) for d in rights], type=typ))
+        return batch
+
+
+def attach_doc_columns(
+    pairs: Dataset,
+    norm_docs: Dataset,
+    columns: Dict[str, Tuple[str, str]],
+    mode: str = "broadcast",
+    num_partitions: int = 32,
+    concurrency=(1, 8),
+) -> Dataset:
+    """``columns`` maps doc-column → (name-for-left-side, name-for-right-side).
+
+    e.g. {"norm_text": ("src_text", "cand_text"), "countries": ("src_countries", "cand_countries")}
+    """
+    proj = norm_docs.select_columns(["doc_id"] + list(columns))
+    if mode == "broadcast":
+        tbl = pa.concat_tables(list(proj.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        ref = ray.put(tbl)
+        return pairs.map_batches(
+            _AttachSides,
+            fn_constructor_kwargs={"table_ref": ref, "columns": columns},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    left = proj.rename_columns({"doc_id": "id_left", **{c: names[0] for c, names in columns.items()}})
+    right = proj.rename_columns({"doc_id": "id_right", **{c: names[1] for c, names in columns.items()}})
+    out = hash_join(pairs, left, on=["id_left"], num_partitions=num_partitions)
+    return hash_join(out, right, on=["id_right"], num_partitions=num_partitions)

@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+  * brute_force_topk — exact cosine top-k: the query matrix is broadcast once
+    (``ray.put``), every batch computes a (Q × batch) matmul and keeps its
+    local top-k, the driver merges the tiny per-batch heaps. Baseline path.
+  * ivf_topk         — IVF index: k-means centroids fit on a sample
+    (driver-side, numpy Lloyd iterations, seeded), vectors assigned to their
+    nearest centroid in a ``map_batches`` pass; queries probe only the
+    ``nprobe`` nearest centroid partitions. The 10^12-vector scale path.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+class BatchTopK:
+    """Batch fn: per-batch cosine top-k against the broadcast query matrix.
+    Emits (query_idx, vec_id, cosine) — at most Q×k rows per batch."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        V = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        sims = self.Q @ V.T  # (Q, n)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qi = np.repeat(np.arange(sims.shape[0]), k)
+        vi = idx.ravel()
+        return pa.table(
+            {
+                "query_idx": pa.array(qi, type=pa.int64()),
+                "vec_id": pa.array(ids[vi]),
+                "cosine": pa.array(sims[qi, vi], type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Exact cosine top-k per query row. Returns (query_idx, vec_id, cosine)
+    sorted by (query_idx, -cosine, vec_id); ties broken by vec_id for
+    determinism."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    # final merge: per-query heaps over the (small) per-batch top-k stream
+    heaps: dict[int, list] = {}
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qi, vid, cos in zip(b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()):
+            h = heaps.setdefault(qi, [])
+            item = (cos, _neg_id_key(vid), vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qi in sorted(heaps):
+        for cos, _, vid in sorted(heaps[qi], key=lambda x: (-x[0], x[2])):
+            rows.append({"query_idx": qi, "vec_id": vid, "cosine": cos})
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"query_idx": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+         "cosine": pa.array([], type=pa.float64())}
+    )
+
+
+def _neg_id_key(vid):
+    """Order helper so equal-cosine ties prefer the SMALLER id in a max-heap
+    comparison (ids may be ints or strings)."""
+    if isinstance(vid, (int, np.integer)):
+        return -int(vid)
+    return tuple(-b for b in str(vid).encode())
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 0) -> np.ndarray:
+    """Seeded Lloyd iterations on a driver-side sample (numpy only)."""
+    rng = np.random.RandomState(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ centers.T, axis=1)
+        for c in range(len(centers)):
+            members = X[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+        centers = _normalize(centers)
+    return centers
+
+
+class IVFAssign:
+    def __init__(self, centers_ref, vec_col: str, id_col: str):
+        self.centers = ray.get(centers_ref)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        V = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        assign = np.argmax(V @ self.centers.T, axis=1)
+        return batch.append_column("ivf_cell", pa.array(assign, type=pa.int32()))
+
+
+def ivf_build(
+    ds: Dataset,
+    n_clusters: int = 16,
+    sample_size: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> Tuple[Dataset, np.ndarray]:
+    """Fit centroids on a sample and assign every vector to its cell.
+    Returns (assigned dataset with ivf_cell column, centroids)."""
+    n = ds.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample_rows = ds.select_columns([vec_col]).random_sample(frac, seed=seed).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centers = kmeans_fit(sample, n_clusters, seed=seed)
+    cref = ray.put(centers)
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centers_ref": cref, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: Dataset,
+    centers: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: each query searches only its ``nprobe`` nearest IVF
+    cells (filter pushed into the scan — on a partitioned-by-cell layout this
+    prunes whole files)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ centers.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted_cells = sorted({int(c) for row in probe for c in row})
+    import pyarrow.compute as pc
+
+    sub = assigned.map_batches(
+        lambda t, cells=wanted_cells: t.filter(pc.is_in(t["ivf_cell"], value_set=pa.array(cells, type=pa.int32()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # per-query cell masks applied at merge time: a (query, vec) pair counts
+    # only if the vec's cell is probed by that query
+    qref = ray.put(Q)
+    partial = sub.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    cell_of: dict = {}
+    for b in assigned.select_columns([id_col, "ivf_cell"]).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cell_of.update(zip(b[id_col].to_pylist(), b["ivf_cell"].to_pylist()))
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    heaps: dict[int, list] = {}
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qi, vid, cos in zip(b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()):
+            if cell_of.get(vid) not in probe_sets[qi]:
+                continue
+            h = heaps.setdefault(qi, [])
+            item = (cos, _neg_id_key(vid), vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qi in sorted(heaps):
+        for cos, _, vid in sorted(heaps[qi], key=lambda x: (-x[0], x[2])):
+            rows.append({"query_idx": qi, "vec_id": vid, "cosine": cos})
+    return pa.Table.from_pylist(rows)

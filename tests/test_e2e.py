@@ -1,0 +1,106 @@
+"""End-to-end ER pipeline tests (BASELINE.md targets):
+  * pairwise F1 ≥ 0.99 on golden labeled pairs at matched blocking keys
+  * per-row span-sequence invariant end to end
+  * stage-checkpoint resume (workdir rerun skips finished stages)
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from entity_resolution__ray.pipelines.er_pipeline import (
+    ERConfig,
+    evaluate_pairwise_f1,
+    run_er_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session, fixture_corpus, tmp_path_factory):
+    docs = rd.read_parquet(fixture_corpus["docs"])
+    golden_pairs = pq.read_table(fixture_corpus["golden_pairs"])
+    workdir = str(tmp_path_factory.mktemp("er_wd"))
+    out = run_er_pipeline(
+        docs,
+        labeled_pairs=golden_pairs,
+        workdir=workdir,
+        config=ERConfig(num_partitions=4),
+    )
+    return out, golden_pairs, workdir, fixture_corpus
+
+
+def test_pairwise_f1_at_matched_blocking_keys(pipeline_run):
+    out, golden_pairs, _, _ = pipeline_run
+    m = evaluate_pairwise_f1(out["edges"], golden_pairs, out["candidate_pairs"])
+    assert m["n_eval"] > 1000
+    assert m["f1"] >= 0.99, m
+
+
+def test_span_sequence_invariant_end_to_end(pipeline_run):
+    out, _, _, corpus = pipeline_run
+    orig = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in pq.read_table(corpus["docs"]).to_pylist()
+    }
+    got_rows = out["normalized"].select_columns(["doc_id", "spans"]).take_all()
+    assert len(got_rows) == len(orig)
+    for r in got_rows:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        assert got == orig[r["doc_id"]], r["doc_id"]
+
+
+def test_clusters_mostly_pure_vs_golden(pipeline_run):
+    out, _, _, corpus = pipeline_run
+    golden = {r["doc_id"]: r["cluster_id"] for r in pq.read_table(corpus["golden_clusters"]).to_pylist()}
+    rows = out["clusters_cc"].take_all()
+    assert len(rows) > 0
+    # purity: within each predicted cluster, fraction of nodes whose golden
+    # entity equals the cluster's majority entity
+    from collections import Counter, defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(golden[r["node_id"]])
+    pure = sum(Counter(v).most_common(1)[0][1] for v in by_cluster.values())
+    total = sum(len(v) for v in by_cluster.values())
+    assert pure / total > 0.97, f"cluster purity {pure/total:.3f}"
+
+
+def test_transitive_clusters_exist_and_sorted(pipeline_run):
+    out, _, _, _ = pipeline_run
+    df = out["clusters_transitive"].to_pandas()
+    assert list(df.columns) == ["node_id", "cluster_id", "cluster_size"]
+    assert (df.sort_values(["cluster_id", "node_id"]).reset_index(drop=True) == df).all().all()
+    assert df["cluster_size"].ge(2).all()  # seeds require an edge → no singletons
+
+
+def test_lineage_manifests_written(pipeline_run):
+    _, _, workdir, _ = pipeline_run
+    from entity_resolution__ray.pipelines.lineage import read_manifest
+
+    for stage in ["01_normalized", "02_candidate_pairs", "03_pair_features", "04_edges",
+                  "05_edge_verdicts", "06_edges_filtered", "08_clusters_cc"]:
+        m = read_manifest(workdir, stage)
+        assert m["rows_out"] > 0
+        assert m["partitions"], stage
+        assert m["wall_s"] >= 0
+
+
+def test_rerun_skips_finished_stages(pipeline_run, fixture_corpus):
+    out, golden_pairs, workdir, _ = pipeline_run
+    docs = rd.read_parquet(fixture_corpus["docs"])
+    import time
+
+    t0 = time.time()
+    out2 = run_er_pipeline(
+        docs, labeled_pairs=golden_pairs, workdir=workdir, config=ERConfig(num_partitions=4)
+    )
+    resume_wall = time.time() - t0
+    # all heavy stages skipped: clusters identical, and the rerun is fast
+    df1 = out["clusters_cc"].to_pandas().sort_values(["cluster_id", "node_id"]).reset_index(drop=True)
+    df2 = out2["clusters_cc"].to_pandas().sort_values(["cluster_id", "node_id"]).reset_index(drop=True)
+    assert df1.equals(df2)
+    assert resume_wall < 120

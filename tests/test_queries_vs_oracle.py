@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run each queries() entry at
+sf0.001 and compare against its oracle_sql() (DuckDB) — column names, row
+count, and order-insensitive values."""
+
+import importlib.util
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    return _load_entry()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer) or df[c].dtype == np.uint64:
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "m8_filter_project",
+    "a4_token_df",
+    "j1_revenue_by_nation",
+    "a2_orders_by_customer",
+    "j2_block_candidates",
+    "f_pair_sims",
+    "o1_topk_docs",
+    "c4_connected_components",
+    "w1_tumbling_window",
+    "dedup_exact",
+    "knn_cosine_topk",
+    "text_quality",
+    "token_counts",
+    "fingerprint_md5",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entry_mod, oracle_con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _normalize(_to_pandas(q(SF_DIR)))
+    want = _normalize(oracle_con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_all_oracle_entries_have_queries(entry_mod):
+    qs = entry_mod.queries()
+    for name in entry_mod.oracle_sql():
+        assert name in qs, name
+
+
+def test_rows_only_queries_run(entry_mod):
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "lang_id"]:
+        out = _to_pandas(entry_mod.queries()[name](SF_DIR))
+        assert out is not None
