@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import re
 from typing import List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -290,6 +291,55 @@ def dataset_stopwords(norm_docs: Dataset, freq_cutoff: float = 0.30) -> Set[str]
     cutoff = freq_cutoff * n
     small = df_counts.filter(expr=f"df >= {cutoff}").take_all()
     return {r["token"] for r in small}
+
+
+# ---------------------------------------------------------------------------
+# M12: acronym finder (visualize_k_value_for_blocking.py:33-43)
+# ---------------------------------------------------------------------------
+_ACRONYM_RE = re.compile(r"\b[A-Z0-9&\-]{2,}\b")
+
+
+def acronyms_column(texts_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Uppercase-token acronym sets from raw text (feeds blocking-quality
+    diagnostics)."""
+    out = [sorted({m for m in _ACRONYM_RE.findall(t or "")}) for t in texts_col.to_pylist()]
+    return pa.array(out, type=pa.list_(pa.string()))
+
+
+def add_acronyms(docs: Dataset, text_col: str = "full_text") -> Dataset:
+    return docs.map_batches(
+        lambda t, c=text_col: t.append_column("acronyms", acronyms_column(t[c])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: blocking-quality metrics (visualize_k_value_for_blocking.py:124-156)
+# ---------------------------------------------------------------------------
+def blocking_quality_metrics(
+    pairs: "pd.DataFrame", n_docs: int, id_to_tokens: dict
+) -> dict:
+    """Mean token-Jaccard over emitted pairs + reduction ratio
+    (1 − |pairs| / (N·(N−1)/2)) — the k-sweep diagnostics as scalars."""
+    total_possible = n_docs * (n_docs - 1) / 2.0
+    if len(pairs) == 0:
+        return {"mean_pair_jaccard": 0.0, "reduction_ratio": 1.0, "n_pairs": 0}
+    sims = []
+    for a, b in zip(pairs["id_left"], pairs["id_right"]):
+        ta = set(id_to_tokens.get(a, ()))
+        tb = set(id_to_tokens.get(b, ()))
+        if not ta and not tb:
+            sims.append(1.0)
+        elif not ta or not tb:
+            sims.append(0.0)
+        else:
+            sims.append(len(ta & tb) / len(ta | tb))
+    return {
+        "mean_pair_jaccard": float(np.mean(sims)),
+        "reduction_ratio": float(1.0 - len(pairs) / total_possible) if total_possible else 1.0,
+        "n_pairs": int(len(pairs)),
+    }
 
 
 # ---------------------------------------------------------------------------

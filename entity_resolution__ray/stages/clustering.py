@@ -243,6 +243,53 @@ def cc_clusters(
 
 
 # ---------------------------------------------------------------------------
+# C8: re-wire clusters as chain or star graphs
+# (build_graph_after_transitivity.py:5-41)
+# ---------------------------------------------------------------------------
+def cluster_graph_edges(clusters: Dataset, strategy: str = "chain") -> Dataset:
+    """(node_id, cluster_id, …) → light edge list per cluster: consecutive
+    sorted members (chain) or min-member hub (star), weight 1.0."""
+    if strategy not in {"chain", "star"}:
+        raise ValueError("strategy must be 'chain' or 'star'")
+    import pandas as pd
+
+    def wire(g: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(g["node_id"].astype(str).tolist())
+        if len(members) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype=object), "v": pd.Series(dtype=object),
+                                 "weight": pd.Series(dtype=float)})
+        if strategy == "chain":
+            us, vs = members[:-1], members[1:]
+        else:
+            us, vs = [members[0]] * (len(members) - 1), members[1:]
+        return pd.DataFrame({"u": us, "v": vs, "weight": 1.0})
+
+    return clusters.groupby("cluster_id").map_groups(wire, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C6: edge list from predictions (build_graph_from_predictions.py:5-32)
+# ---------------------------------------------------------------------------
+def edges_from_predictions(edges: Dataset, keep_threshold: float = 0.45) -> Dataset:
+    """Thresholded, self-loop-free, keep-max-weight undirected edge dataset —
+    the reference's nx.Graph build as a composition (M8 + M9 + A2)."""
+    from ray.data.aggregate import Max
+
+    filtered = edges.map_batches(
+        lambda t, th=keep_threshold: t.filter(
+            pc.and_(pc.greater_equal(t["prob_match"], th), pc.not_equal(t["id_left"], t["id_right"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        filtered.select_columns(["id_left", "id_right", "prob_match"])
+        .groupby(["id_left", "id_right"])
+        .aggregate(Max("prob_match", alias_name="weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # cohort-partitioned transitivity (C5)
 # ---------------------------------------------------------------------------
 def cohort_seed_edges(edges_with_countries: Dataset, min_prob: float = DEFAULT_TRANSITIVITY_MIN_PROB) -> Dataset:

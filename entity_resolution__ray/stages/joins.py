@@ -126,6 +126,40 @@ def ltypes_field(schema: pa.Schema, name: str) -> pa.DataType:
     return schema.field(name).type
 
 
+# ---------------------------------------------------------------------------
+# J4: broadcast semi/anti join on a (small) key set
+# ---------------------------------------------------------------------------
+def broadcast_anti_join(ds: Dataset, keys: set, on: Sequence[str], semi: bool = False) -> Dataset:
+    """Drop (anti) or keep (semi) rows whose key tuple is in the broadcast
+    set — the reference's prune-dict filter (apply_constraints.py:44-53)
+    without a driver-side mask loop. ``keys`` = set of tuples (or scalars for
+    a single key column)."""
+    import ray as _ray
+
+    keys_ref = _ray.put(keys)
+    cols = list(on)
+
+    class Filter:
+        def __init__(self, ref):
+            self.keys = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            colvals = [t[c].to_pylist() for c in cols]
+            if len(cols) == 1:
+                hit = np.array([v in self.keys for v in colvals[0]], dtype=bool)
+            else:
+                hit = np.array([tup in self.keys for tup in zip(*colvals)], dtype=bool)
+            mask = hit if semi else ~hit
+            return t.filter(pa.array(mask))
+
+    return ds.map_batches(
+        Filter, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+
+
 class _AttachSides:
     def __init__(self, table_ref, columns: Dict[str, Tuple[str, str]]):
         tbl: pa.Table = ray.get(table_ref)

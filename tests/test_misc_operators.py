@@ -1,0 +1,75 @@
+"""Tests for the remaining SURVEY §2 operators: M12 acronyms, A7 blocking
+quality, C6 edges-from-predictions, C8 cluster graph re-wiring, J4 anti-join."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_resolution__ray.stages.blocking import acronyms_column, blocking_quality_metrics
+from entity_resolution__ray.stages.clustering import cluster_graph_edges, edges_from_predictions
+from entity_resolution__ray.stages.joins import broadcast_anti_join
+
+
+def test_acronyms_column():
+    col = pa.array(["IBM and NASA visited the USA", "no acronyms here", ""])
+    out = acronyms_column(col).to_pylist()
+    assert out[0] == ["IBM", "NASA", "USA"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_blocking_quality_metrics():
+    pairs = pd.DataFrame({"id_left": ["a"], "id_right": ["b"]})
+    toks = {"a": ["x", "y"], "b": ["y", "z"]}
+    m = blocking_quality_metrics(pairs, n_docs=4, id_to_tokens=toks)
+    assert m["n_pairs"] == 1
+    assert m["mean_pair_jaccard"] == pytest.approx(1 / 3)
+    assert m["reduction_ratio"] == pytest.approx(1 - 1 / 6)
+
+
+def test_edges_from_predictions(ray_session):
+    ds = rd.from_items(
+        [
+            {"id_left": "a", "id_right": "b", "prob_match": 0.5},
+            {"id_left": "b", "id_right": "a", "prob_match": 0.7},  # same pair? no: (b,a) != (a,b) canonical
+            {"id_left": "a", "id_right": "b", "prob_match": 0.6},  # dup pair keep max
+            {"id_left": "c", "id_right": "c", "prob_match": 0.9},  # self loop dropped
+            {"id_left": "d", "id_right": "e", "prob_match": 0.1},  # below threshold
+        ],
+        override_num_blocks=1,
+    )
+    out = edges_from_predictions(ds, keep_threshold=0.45).to_pandas()
+    got = {(r.id_left, r.id_right): r.weight for r in out.itertuples()}
+    assert got[("a", "b")] == 0.6
+    assert got[("b", "a")] == 0.7
+    assert ("c", "c") not in got and ("d", "e") not in got
+
+
+def test_cluster_graph_edges_chain_and_star(ray_session):
+    clusters = rd.from_items(
+        [
+            {"node_id": "a", "cluster_id": 0},
+            {"node_id": "b", "cluster_id": 0},
+            {"node_id": "c", "cluster_id": 0},
+            {"node_id": "z", "cluster_id": 1},
+        ],
+        override_num_blocks=1,
+    )
+    chain = cluster_graph_edges(clusters, "chain").to_pandas()
+    assert set(zip(chain["u"], chain["v"])) == {("a", "b"), ("b", "c")}
+    star = cluster_graph_edges(clusters, "star").to_pandas()
+    assert set(zip(star["u"], star["v"])) == {("a", "b"), ("a", "c")}
+    assert (chain["weight"] == 1.0).all()
+
+
+def test_broadcast_anti_and_semi_join(ray_session):
+    ds = rd.from_items(
+        [{"id_left": "a", "id_right": "b"}, {"id_left": "c", "id_right": "d"}],
+        override_num_blocks=1,
+    )
+    pruned = broadcast_anti_join(ds, {("a", "b")}, on=["id_left", "id_right"]).to_pandas()
+    assert pruned["id_left"].tolist() == ["c"]
+    kept = broadcast_anti_join(ds, {("a", "b")}, on=["id_left", "id_right"], semi=True).to_pandas()
+    assert kept["id_left"].tolist() == ["a"]

@@ -1,0 +1,51 @@
+"""Tests for the NER tokenization stage (T1/T2 — reference:
+models/ner/ner_extractor.py + token_processor.py)."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_resolution__ray.stages.ner import NERExtractor, RuleNERModel, ner_tokenize
+
+
+def test_rule_model_extracts_org_gpe_cardinal():
+    m = RuleNERModel()
+    ents = m.extract("IBM Almaden Research Center, San Jose, Japan, 95120")
+    by_label = {}
+    for e in ents:
+        by_label.setdefault(e["label"], []).append(e["text"])
+    assert any("IBM" in t for t in by_label.get("ORG", []))
+    assert "Japan" in by_label.get("GPE", [])
+    assert "95120" in by_label.get("CARDINAL", [])
+
+
+def test_token_processor_semantics():
+    # reference: dedupe case-insensitively, rstrip ';:,', join with '; '
+    ents = [
+        {"text": "IBM Research;", "label": "ORG"},
+        {"text": "ibm research", "label": "ORG"},  # dup (case-insensitive)
+        {"text": "Japan", "label": "GPE"},
+        {"text": "", "label": "ORG"},
+    ]
+    assert NERExtractor._tokens_labeled(ents) == "IBM Research<ORG>; Japan<GPE>"
+    assert NERExtractor._tokens_plain(ents) == "IBM Research; Japan"
+
+
+def test_transformer_backends_raise():
+    with pytest.raises(NotImplementedError):
+        NERExtractor(model_type="spacy")
+    with pytest.raises(NotImplementedError):
+        NERExtractor(model_type="hf")
+
+
+def test_ner_stage(ray_session):
+    ds = rd.from_items(
+        [{"full_text": "Stanford University, United States"}, {"full_text": ""}],
+        override_num_blocks=1,
+    )
+    out = ner_tokenize(ds).to_pandas()
+    assert "affil_tokens" in out and "affil_tokens_labeled" in out
+    assert "Stanford University<ORG>" in out["affil_tokens_labeled"].iloc[0]
+    assert "United States<GPE>" in out["affil_tokens_labeled"].iloc[0]
+    assert out["affil_tokens"].iloc[1] == ""
