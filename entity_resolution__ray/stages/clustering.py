@@ -129,6 +129,9 @@ def connected_components(
     file records ``converged=false`` and a later call continues.
     """
     edges = edges.repartition(num_partitions).materialize()  # reused every iteration
+    if edges.count() == 0:
+        empty = pa.table({"node": pa.array([], type=pa.string()), "label": pa.array([], type=pa.string())})
+        return rd.from_arrow(empty)
     start_iter = 0
     labels: Optional[Dataset] = None
     state_path = checkpoint_dir and os.path.join(checkpoint_dir, "cc_state.json")

@@ -34,6 +34,7 @@ from ray.data.aggregate import Max, Min
 
 from .blocking import MinHasher, char_qgrams, stable_token_hashes
 from .clustering import connected_components
+from .joins import _arrow_schema as _arrow_schema_of
 
 
 def _content_hash_column(t: pa.Table, text_col: str) -> pa.Array:
@@ -115,15 +116,20 @@ def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset
     """band groups → canonical candidate pairs (deduped)."""
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))[:max_group_size]
+        dtype = g["doc_id"].dtype  # keep id dtype stable so empty groups don't
+        ids = sorted(set(g["doc_id"].tolist()))[:max_group_size]  # poison the shuffle
         if len(ids) < 2:
-            return pd.DataFrame({"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object)})
+            return pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)})
         ii, jj = np.triu_indices(len(ids), 1)
         arr = np.array(ids, dtype=object)
-        return pd.DataFrame({"id_left": arr[ii], "id_right": arr[jj]})
+        return pd.DataFrame(
+            {"id_left": pd.Series(arr[ii], dtype=dtype), "id_right": pd.Series(arr[jj], dtype=dtype)}
+        )
 
     pairs = keys.groupby("band_key").map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["id_left", "id_right"]).aggregate(Min("id_left", alias_name="_d")).drop_columns(["_d"])
+    from ray.data.aggregate import Count as _Count
+
+    return pairs.groupby(["id_left", "id_right"]).aggregate(_Count(alias_name="_d")).drop_columns(["_d"])
 
 
 def minhash_lsh_candidates(
@@ -206,9 +212,36 @@ def near_dup_clusters(
         JaccardVerify, fn_constructor_kwargs={"shingle": shingle},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
-    edges = verified.select_columns(["id_left", "id_right"]).rename_columns({"id_left": "u", "id_right": "v"})
+    # CC operates on string node ids (its min-label sentinel is a string);
+    # numeric ids are zero-padded so lexicographic order == numeric order,
+    # then cast back on the way out.
+    id_type = None
+    for f_ in _arrow_schema_of(ds):
+        if f_.name == id_col:
+            id_type = f_.type
+    numeric = id_type is not None and pa.types.is_integer(id_type)
+
+    def to_str(t: pa.Table) -> pa.Table:
+        if numeric:
+            u = pa.array([f"{v:020d}" for v in t["id_left"].to_pylist()], type=pa.string())
+            v_ = pa.array([f"{v:020d}" for v in t["id_right"].to_pylist()], type=pa.string())
+        else:
+            u = pc.cast(t["id_left"], pa.string())
+            v_ = pc.cast(t["id_right"], pa.string())
+        return pa.table({"u": u, "v": v_})
+
+    edges = verified.map_batches(to_str, batch_format="pyarrow", zero_copy_batch=True)
     labels = connected_components(edges, num_partitions=num_partitions)
-    return labels.rename_columns({"node": "doc_id", "label": "dup_group"})
+
+    def from_str(t: pa.Table) -> pa.Table:
+        node = t["node"]
+        grp = t["label"]
+        if numeric:
+            node = pc.cast(node, id_type)
+            grp = pc.cast(grp, id_type)
+        return pa.table({"doc_id": node, "dup_group": grp})
+
+    return labels.map_batches(from_str, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_lsh_dedup(
@@ -284,11 +317,12 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     )
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
+        dtype = g["doc_id"].dtype
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         n = len(g)
         if n < 2:
             return pd.DataFrame(
-                {"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object),
+                {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
                  "hamming": pd.Series(dtype=np.int64)}
             )
         ids = g["doc_id"].to_numpy(dtype=object)
@@ -297,7 +331,11 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
         x = sigs[ii] ^ sigs[jj]
         ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_left": ids[ii][keep], "id_right": ids[jj][keep], "hamming": ham[keep]})
+        return pd.DataFrame(
+            {"id_left": pd.Series(ids[ii][keep], dtype=dtype),
+             "id_right": pd.Series(ids[jj][keep], dtype=dtype),
+             "hamming": ham[keep]}
+        )
 
     pairs = keys.groupby("band_key").map_groups(emit, batch_format="pandas")
     return pairs.groupby(["id_left", "id_right"]).aggregate(Min("hamming", alias_name="hamming"))
