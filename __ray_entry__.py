@@ -435,7 +435,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.csize >= 2
         """,
         "w1_tumbling_window": """
-            SELECT user_id, (epoch(ts)::BIGINT // 60) * 60 AS window_start,
+            SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
@@ -445,7 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3)
             SELECT qid AS query_idx, e.vec_id,
-                   round(list_cosine_similarity(qe, e.embedding), 4) AS cosine
+                   round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 4) AS cosine
             FROM q, embeddings e
             QUALIFY row_number() OVER (
               PARTITION BY qid ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC

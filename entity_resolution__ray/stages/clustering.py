@@ -240,7 +240,11 @@ def cc_clusters(
 ) -> Dataset:
     """Flat CC clustering (C7 / apply_clustering_algorithm.py): edges
     (id_left, id_right) → (node_id, cluster_id, cluster_size)."""
-    e = edges.select_columns(["id_left", "id_right"]).rename_columns({"id_left": "u", "id_right": "v"})
+    # map_batches(pyarrow) rather than select/rename: coerces pandas-format
+    # blocks (e.g. map_groups outputs) to arrow, which Project ops can't
+    e = edges.map_batches(
+        lambda t: pa.table({"u": t["id_left"], "v": t["id_right"]}), batch_format="pyarrow"
+    )
     labels = connected_components(e, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions)
     return clusters_from_labels(labels, renumber=renumber, num_partitions=num_partitions)
 
