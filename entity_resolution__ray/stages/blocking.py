@@ -242,27 +242,87 @@ class PairEmitter:
         return pd.DataFrame({"id_left": lo, "id_right": hi, "block_key": key, "sim": sim})
 
 
+def bucketed_apply(
+    ds: Dataset,
+    key_cols: Sequence[str],
+    bucket_fn,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Hash-bucket rows by key column(s), then run ONE vectorized pandas
+    function per bucket.
+
+    This is the engine's high-cardinality aggregation primitive: Ray's
+    ``groupby(key).aggregate(...)`` runs a Python accumulator per GROUP, which
+    collapses at millions of tiny groups (pair keys, node ids). Bucketing
+    moves the same bytes through one shuffle but leaves the per-key work to a
+    vectorized ``DataFrame.groupby`` inside each of ``num_buckets`` tasks.
+    Rows with equal keys always land in the same bucket, so any per-key
+    computation is exact."""
+    cols = list(key_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col_lists = [t[c].to_pylist() for c in cols]
+        b = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b("\x1f".join(map(str, row)).encode(), digest_size=4).digest(),
+                    "little",
+                )
+                % num_buckets
+                for row in zip(*col_lists)
+            ],
+            type=pa.int32(),
+        )
+        return t.append_column("__gb", b)
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=["__gb"]))
+
+    return keyed.groupby("__gb").map_groups(apply_bucket, batch_format="pandas")
+
+
+def bucketed_group_apply(
+    ds: Dataset,
+    key_col: str,
+    per_key_fn,
+    num_buckets: int = 64,
+) -> Dataset:
+    """groupby(key).map_groups with per-KEY Ray overhead amortized: one
+    bucketed shuffle, pandas sub-groupby + per-key fn inside each bucket."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_key_fn(sub) for _, sub in g.groupby(key_col, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return per_key_fn(g.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(ds, [key_col], bucket_fn, num_buckets=num_buckets)
+
+
 def candidate_pairs(
     block_keys: Dataset,
     max_group_size: int = 256,
     per_doc_topk: int = 40,
+    num_buckets: int = 64,
 ) -> Dataset:
     """block-key rows → canonical candidate pairs, undirected-collapsed.
 
-    Two shuffles: groupby(block_key) for pair emission, groupby(pair) for the
-    keep-max collapse (A1). The collapse keeps max sim across co-occurring
-    blocks and the lexicographically-min block_key as the pair's
+    Two shuffles: bucketed groupby(block_key) for pair emission, groupby(pair)
+    for the keep-max collapse (A1). The collapse keeps max sim across
+    co-occurring blocks and the lexicographically-min block_key as the pair's
     representative key (deterministic)."""
     emitter = PairEmitter(max_group_size=max_group_size, per_doc_topk=per_doc_topk)
+    pairs = bucketed_group_apply(block_keys, "block_key", emitter, num_buckets=num_buckets)
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return emitter(group)
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_left", "id_right"], as_index=False).agg(
+            sim=("sim", "max"), block_key=("block_key", "min")
+        )
 
-    pairs = block_keys.groupby("block_key").map_groups(emit_pairs, batch_format="pandas")
-    return pairs.groupby(["id_left", "id_right"]).aggregate(
-        Max("sim", alias_name="sim"),
-        Min("block_key", alias_name="block_key"),
-    )
+    return bucketed_apply(pairs, ["id_left", "id_right"], collapse, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -45,10 +45,19 @@ DEFAULT_TRANSITIVITY_MIN_PROB = 0.60  # apply_transitivity.py:189
 # distributed connected components
 # ---------------------------------------------------------------------------
 def _initial_labels(edges: Dataset, num_partitions: int) -> Dataset:
-    u = edges.select_columns(["u"]).rename_columns({"u": "node"})
-    v = edges.select_columns(["v"]).rename_columns({"v": "node"})
-    nodes = u.union(v).groupby("node").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
-    return nodes.map_batches(
+    from .blocking import bucketed_apply
+
+    nodes = edges.map_batches(
+        lambda t: pa.table(
+            {"node": pa.chunked_array([t["u"].combine_chunks(), t["v"].combine_chunks()]).combine_chunks()}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct = bucketed_apply(
+        nodes, ["node"], lambda g: g.drop_duplicates("node"), num_buckets=num_partitions
+    )
+    return distinct.map_batches(
         lambda t: t.append_column("label", t["node"]), batch_format="pyarrow", zero_copy_batch=True
     ).repartition(num_partitions)
 
@@ -96,12 +105,15 @@ def _propagate_once(edges: Dataset, labels: Dataset, num_partitions: int) -> Dat
     tagged = labels.map_batches(
         lambda t: t.append_column("old_label", t["label"]), batch_format="pyarrow", zero_copy_batch=True
     )
-    return (
-        msgs.union(tagged)
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"), Min("old_label", alias_name="old_label"))
-        .repartition(num_partitions)  # bound block count across iterations
-    )
+
+    from .blocking import bucketed_apply
+
+    def min_per_node(g):
+        return g.groupby("node", as_index=False).agg(label=("label", "min"), old_label=("old_label", "min"))
+
+    agg = bucketed_apply(msgs.union(tagged), ["node"], min_per_node, num_buckets=num_partitions)
+    # back to arrow blocks so downstream Project/rename ops work
+    return agg.map_batches(lambda t: t, batch_format="pyarrow").repartition(num_partitions)
 
 
 def _count_changed(agg: Dataset) -> int:
@@ -197,7 +209,14 @@ def clusters_from_labels(
     attached by a distributed join keyed on label (the 10^12-scale path —
     cluster-id keyspace ≫ partitions, so hash partitions are never empty).
     """
-    sizes_ds = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+    from .blocking import bucketed_apply
+
+    sizes_ds = bucketed_apply(
+        labels,
+        ["label"],
+        lambda g: g.groupby("label", as_index=False).size().rename(columns={"size": "cluster_size"}),
+        num_buckets=num_partitions,
+    ).map_batches(lambda t: t, batch_format="pyarrow")
     if renumber == "dense":
         rows = sizes_ds.sort("label").take_all()
         mapping = {r["label"]: (i, r["cluster_size"]) for i, r in enumerate(rows)}

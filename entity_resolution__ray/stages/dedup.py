@@ -56,10 +56,12 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1).drop(columns=["__h"])
+    from .blocking import bucketed_apply
 
-    return hashed.groupby("__h").map_groups(keep_first, batch_format="pandas")
+    def keep_min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).drop_duplicates("__h", keep="first").drop(columns=["__h"])
+
+    return bucketed_apply(hashed, ["__h"], keep_min_per_hash, num_buckets=64)
 
 
 # ---------------------------------------------------------------------------
@@ -126,10 +128,14 @@ def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset
             {"id_left": pd.Series(arr[ii], dtype=dtype), "id_right": pd.Series(arr[jj], dtype=dtype)}
         )
 
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pandas")
-    from ray.data.aggregate import Count as _Count
+    from .blocking import bucketed_apply, bucketed_group_apply
 
-    return pairs.groupby(["id_left", "id_right"]).aggregate(_Count(alias_name="_d")).drop_columns(["_d"])
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    return bucketed_apply(
+        pairs, ["id_left", "id_right"],
+        lambda g: g.drop_duplicates(["id_left", "id_right"]),
+        num_buckets=64,
+    )
 
 
 def minhash_lsh_candidates(
@@ -337,8 +343,14 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
              "hamming": ham[keep]}
         )
 
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["id_left", "id_right"]).aggregate(Min("hamming", alias_name="hamming"))
+    from .blocking import bucketed_apply, bucketed_group_apply
+
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    return bucketed_apply(
+        pairs, ["id_left", "id_right"],
+        lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(hamming=("hamming", "min")),
+        num_buckets=64,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -414,5 +426,11 @@ def embedding_near_dup(
         arr = np.array(ids)
         return pd.DataFrame({"id_left": arr[ii][keep], "id_right": arr[jj][keep], "cosine": sims[ii, jj][keep]})
 
-    pairs = keys.groupby("band_key").map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["id_left", "id_right"]).aggregate(Max("cosine", alias_name="cosine"))
+    from .blocking import bucketed_apply, bucketed_group_apply
+
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    return bucketed_apply(
+        pairs, ["id_left", "id_right"],
+        lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(cosine=("cosine", "max")),
+        num_buckets=64,
+    )

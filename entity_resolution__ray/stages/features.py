@@ -127,39 +127,69 @@ def attach_texts(
 # ---------------------------------------------------------------------------
 # the feature kernel
 # ---------------------------------------------------------------------------
+def _csr_take(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, rows: np.ndarray):
+    """Gather CSR rows by index (vectorized) — lets us transform only UNIQUE
+    texts and fan results back out to pairs."""
+    lens = np.diff(indptr)[rows]
+    new_indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_indptr[1:])
+    total = int(new_indptr[-1])
+    if total == 0:
+        return new_indptr, np.empty(0, dtype=indices.dtype), np.empty(0, dtype=data.dtype)
+    starts = indptr[rows]
+    gather = np.repeat(starts, lens) + (np.arange(total) - np.repeat(new_indptr[:-1], lens))
+    return new_indptr, indices[gather], data[gather]
+
+
 def compute_pair_features(
     src_norm: List[str],
     cand_norm: List[str],
     vec_word: Vectorizer,
     vec_char: Vectorizer,
+    max_strlen: int = 512,
 ) -> Dict[str, np.ndarray]:
-    """8-feature kernel over paired normalized strings (feautre_extraction.py:116-163)."""
+    """8-feature kernel over paired normalized strings (feautre_extraction.py:116-163).
+
+    Perf: vectorizer transforms run over the batch's UNIQUE texts only (each
+    doc participates in ~k pairs, so this is a ~k× saving) and are gathered
+    back to pair rows with a CSR row-take. The O(len²) character kernels
+    (Jaro-Winkler / LCS) evaluate on texts truncated to ``max_strlen`` chars —
+    a no-op for affiliation-length strings, a guard against quadratic blowup
+    on document-length inputs."""
     n = len(src_norm)
-    src_tokens = [s.split(" ") if s else [] for s in src_norm]
-    cand_tokens = [s.split(" ") if s else [] for s in cand_norm]
-    src_sets = [set(t) for t in src_tokens]
-    cand_sets = [set(t) for t in cand_tokens]
+    uniq, inv = np.unique(np.array(src_norm + cand_norm, dtype=object), return_inverse=True)
+    uniq_list = uniq.tolist()
+    src_idx = inv[:n]
+    cand_idx = inv[n:]
 
-    # vector-based sims
-    cv = pair_count_vectorizer().fit(src_norm + cand_norm)  # scope-invariant; per-batch fit
-    ia, ja, da = cv.transform(src_norm)
-    ib, jb, db = cv.transform(cand_norm)
-    token_cos = strsim.rowwise_cosine_csr(ia, ja, da, ib, jb, db, n, cv.n_features)
-
-    iw_a, jw_a, dw_a = vec_word.transform(src_norm)
-    iw_b, jw_b, dw_b = vec_word.transform(cand_norm)
-    tfidf_word_cos = strsim.rowwise_cosine_csr(iw_a, jw_a, dw_a, iw_b, jw_b, dw_b, n, max(vec_word.n_features, 1))
-
-    ic_a, jc_a, dc_a = vec_char.transform(src_norm)
-    ic_b, jc_b, dc_b = vec_char.transform(cand_norm)
-    tfidf_char_cos = strsim.rowwise_cosine_csr(ic_a, jc_a, dc_a, ic_b, jc_b, dc_b, n, max(vec_char.n_features, 1))
+    # vector-based sims — transform unique texts once
+    cv = pair_count_vectorizer().fit(uniq_list)  # scope-invariant; per-batch fit
+    u_cv = cv.transform(uniq_list)
+    token_cos = strsim.rowwise_cosine_csr(
+        *_csr_take(*u_cv, src_idx), *_csr_take(*u_cv, cand_idx), n, max(cv.n_features, 1)
+    )
+    u_w = vec_word.transform(uniq_list)
+    tfidf_word_cos = strsim.rowwise_cosine_csr(
+        *_csr_take(*u_w, src_idx), *_csr_take(*u_w, cand_idx), n, max(vec_word.n_features, 1)
+    )
+    u_c = vec_char.transform(uniq_list)
+    tfidf_char_cos = strsim.rowwise_cosine_csr(
+        *_csr_take(*u_c, src_idx), *_csr_take(*u_c, cand_idx), n, max(vec_char.n_features, 1)
+    )
 
     # string-based sims (LCS shared between lcs_ratio and edit_ratio)
-    lcs_r, edit_r = strsim.lcs_and_edit_batch(src_norm, cand_norm)
-    jw = strsim.jaro_winkler_batch(src_norm, cand_norm)
-    jacc = strsim.jaccard_batch(src_sets, cand_sets)
-    dm = strsim.dmetaphone_match_batch(src_tokens, cand_tokens)
+    uniq_trunc = [s[:max_strlen] for s in uniq_list]
+    src_t = [uniq_trunc[i] for i in src_idx]
+    cand_t = [uniq_trunc[i] for i in cand_idx]
+    lcs_r, edit_r = strsim.lcs_and_edit_batch(src_t, cand_t)
+    jw = strsim.jaro_winkler_batch(src_t, cand_t)
 
+    uniq_tokens = [s.split(" ") if s else [] for s in uniq_list]
+    uniq_sets = [set(t) for t in uniq_tokens]
+    jacc = strsim.jaccard_batch([uniq_sets[i] for i in src_idx], [uniq_sets[i] for i in cand_idx])
+    dm = strsim.dmetaphone_match_batch(
+        [uniq_tokens[i] for i in src_idx], [uniq_tokens[i] for i in cand_idx]
+    )
     return {
         "edit_ratio": edit_r,
         "jaro_winkler": jw,
@@ -176,14 +206,15 @@ class FeatureActor:
     """Actor-pool batch fn: pairs with src_text/cand_text → + 8 feature columns.
     Fitted vectorizers are read from the object store once per actor."""
 
-    def __init__(self, vec_word_ref, vec_char_ref):
+    def __init__(self, vec_word_ref, vec_char_ref, max_strlen: int = 128):
         self.vec_word: Vectorizer = ray.get(vec_word_ref)
         self.vec_char: Vectorizer = ray.get(vec_char_ref)
+        self.max_strlen = max_strlen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src = [t or "" for t in batch["src_text"].to_pylist()]
         cand = [t or "" for t in batch["cand_text"].to_pylist()]
-        feats = compute_pair_features(src, cand, self.vec_word, self.vec_char)
+        feats = compute_pair_features(src, cand, self.vec_word, self.vec_char, max_strlen=self.max_strlen)
         for col in FEATURE_COLS:
             batch = batch.append_column(col, pa.array(feats[col], type=pa.float64()))
         return batch
@@ -195,13 +226,15 @@ def pair_features(
     vec_char: Vectorizer,
     batch_size: int = 2048,
     concurrency=(1, 8),
+    max_strlen: int = 128,
 ) -> Dataset:
     """Score candidate pairs with the 8-feature kernel (actor pool)."""
     vec_word_ref = ray.put(vec_word)
     vec_char_ref = ray.put(vec_char)
     return pairs_with_texts.map_batches(
         FeatureActor,
-        fn_constructor_kwargs={"vec_word_ref": vec_word_ref, "vec_char_ref": vec_char_ref},
+        fn_constructor_kwargs={"vec_word_ref": vec_word_ref, "vec_char_ref": vec_char_ref,
+                               "max_strlen": max_strlen},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
