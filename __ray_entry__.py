@@ -178,18 +178,20 @@ def _q_revenue_by_nation(sf_dir: str):
 
 
 def _q_orders_by_customer(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
+    from entity_resolution__ray.stages.blocking import bucketed_apply
 
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    out = orders.groupby("o_custkey").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="sum_price"),
-        Max("o_totalprice", alias_name="max_price"),
-    )
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("sum_price"), "sum_price", pc.round(t["sum_price"], 2)),
-        batch_format="pyarrow",
-    )
+
+    def agg(g):
+        out = g.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            sum_price=("o_totalprice", "sum"),
+            max_price=("o_totalprice", "max"),
+        )
+        out["sum_price"] = out["sum_price"].round(2)
+        return out
+
+    return bucketed_apply(orders, ["o_custkey"], agg, num_buckets=32)
 
 
 def _first_token_keys(t: pa.Table) -> pa.Table:
@@ -270,22 +272,25 @@ def _q_connected_components(sf_dir: str):
 
 
 def _q_tumbling_window(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from entity_resolution__ray.stages.blocking import bucketed_apply
 
     ev = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
         epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)  # µs → s
         win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 60.0)), 60.0)
-        return t.append_column("window_start", pc.cast(win, pa.int64()))
+        return t.append_column("window_start", pc.cast(win, pa.int64())).drop_columns(["ts"])
 
-    out = ev.map_batches(add_window, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)),
-        batch_format="pyarrow",
-    )
+    windowed = ev.map_batches(add_window, batch_format="pyarrow")
+
+    def agg(g):
+        out = g.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return bucketed_apply(windowed, ["user_id", "window_start"], agg, num_buckets=32)
 
 
 def _q_dedup_exact(sf_dir: str):

@@ -84,6 +84,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         _consume(qs[name](sf_dir))
         times[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     headline = times["er_clusters"]
     out = {
