@@ -429,7 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_connected_components": """
             WITH comp AS (
               SELECT doc_id, source,
-                     min(cast(doc_id AS VARCHAR)) OVER (PARTITION BY source) AS root,
+                     min(doc_id) OVER (PARTITION BY source) AS root,
                      count(*) OVER (PARTITION BY source) AS csize
               FROM documents
             ),

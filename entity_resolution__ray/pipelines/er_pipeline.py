@@ -43,6 +43,10 @@ class ERConfig:
     use_token_keys: bool = True
     n_qgram_bands: int = 2
     min_token_len: int = 3
+    # tokens with document frequency ≥ this are dropped from token blocking
+    # keys (T7: dataset-derived stopwords — a df-1.0 token would otherwise be
+    # one giant all-pairs block). None disables.
+    blocking_stopword_df: Optional[float] = 0.3
     constraints_min_prob: float = 0.45
     transitivity_min_prob: float = 0.60
     use_geo: bool = True
@@ -106,11 +110,17 @@ def run_er_pipeline(
     norm = checkpoint_stage(normalize_docs(docs), workdir, "01_normalized")
 
     # 2-3. blocking keys → candidate pairs (salted groupby shuffle + collapse)
+    stop_tokens = None
+    if cfg.blocking_stopword_df is not None and cfg.use_token_keys:
+        from ..stages.blocking import dataset_stopwords
+
+        stop_tokens = dataset_stopwords(norm, freq_cutoff=cfg.blocking_stopword_df)
     keys = emit_block_keys(
         norm,
         min_token_len=cfg.min_token_len,
         n_qgram_bands=cfg.n_qgram_bands,
         use_token_keys=cfg.use_token_keys,
+        stop_tokens=stop_tokens,
     )
     pairs = checkpoint_stage(
         candidate_pairs(keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk),

@@ -100,7 +100,8 @@ class BlockKeyEmitter:
     def __init__(
         self,
         min_token_len: int = 3,
-        n_qgram_bands: int = 2,
+        n_qgram_bands: int = 4,
+        qgram_rows_per_band: int = 2,
         qgram_size: int = 4,
         stop_tokens: Optional[Set[str]] = None,
         use_token_keys: bool = True,
@@ -108,7 +109,10 @@ class BlockKeyEmitter:
         self.min_token_len = min_token_len
         self.qgram_size = qgram_size
         self.n_bands = n_qgram_bands
-        self.hasher = MinHasher(n_perm=n_qgram_bands, seed=1234) if n_qgram_bands > 0 else None
+        self.r = qgram_rows_per_band
+        self.hasher = (
+            MinHasher(n_perm=n_qgram_bands * qgram_rows_per_band, seed=1234) if n_qgram_bands > 0 else None
+        )
         self.stop_tokens = stop_tokens or set()
         self.use_token_keys = use_token_keys
 
@@ -129,7 +133,10 @@ class BlockKeyEmitter:
             if self.hasher is not None:
                 grams = char_qgrams(nt, self.qgram_size)
                 sig = self.hasher.signature(stable_token_hashes(grams))
-                keys.extend(f"q{b}:{sig[b]:x}" for b in range(self.n_bands))
+                for b in range(self.n_bands):
+                    chunk = sig[b * self.r : (b + 1) * self.r]
+                    h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                    keys.append(f"q{b}:{h}")
             out_key.extend(keys)
             out_doc.extend([did] * len(keys))
             out_text.extend([nt] * len(keys))

@@ -62,44 +62,75 @@ def _initial_labels(edges: Dataset, num_partitions: int) -> Dataset:
     ).repartition(num_partitions)
 
 
-_SENTINEL = "￿"  # sorts above every real label
+_SENTINEL = "\uffff"  # sorts above every real label
+_ORD_SEP = "\x1f"
+
+
+def _encode_id(s: str) -> str:
+    """Length-first total order: lexicographic comparison of the encoded form
+    equals (len, str) comparison, so numeric string ids order numerically.
+    The choice of representative order is arbitrary for correctness, but
+    length-lex makes min-label propagation converge in O(log n) rounds on
+    numeric ids (plain lexicographic order scrambles the shortcuts and is
+    ~2× slower empirically)."""
+    return f"{len(s):06d}{_ORD_SEP}{s}"
+
+
+def _decode_id(s: str) -> str:
+    return s.split(_ORD_SEP, 1)[1]
+
+
+def _encode_edges(edges: Dataset) -> Dataset:
+    """Encode ids and symmetrize: (u,v) ∪ (v,u) — one directed-message join
+    per round then covers both directions."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        u = [_encode_id(x) for x in t["u"].to_pylist()]
+        v = [_encode_id(x) for x in t["v"].to_pylist()]
+        return pa.table(
+            {
+                "u": pa.array(u + v, type=pa.string()),
+                "v": pa.array(v + u, type=pa.string()),
+            }
+        )
+
+    return edges.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _propagate_once(edges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
-    """One round: every edge pushes min(label_u, label_v) to both endpoints;
-    nodes keep their current label; groupby(node).min.
+    """One round of min-label propagation with pointer jumping.
 
-    Pointer jumping: the current (node → label) relation is unioned into the
-    edge set each round, so a node also receives its label's label —
-    convergence in O(log diameter) rounds instead of O(diameter).
+    ``edges`` is the symmetrized encoded edge set. The (node ↔ label)
+    relation is unioned in both directions each round so a node also receives
+    its label's label (shortcutting). ONE cogroup hash-join attaches the
+    sender's label to every directed edge; messages (receiver, sender_label)
+    union the current labels and reduce by a bucketed vectorized min.
 
-    Output carries BOTH the new label (Min over messages ∪ current) and the
-    node's previous label (Min over the ``old_label`` column, where messages
-    contribute a max-sentinel) — so convergence detection is a cheap scan of
-    the already-materialized result instead of an extra join per iteration."""
+    Output carries BOTH the new label and the node's previous label (old
+    labels win Min over a max-sentinel from messages), so convergence
+    detection is a scan of the already-materialized result — no extra join."""
     label_edges = labels.map_batches(
-        lambda t: pa.table({"u": t["node"], "v": t["label"]}).filter(
-            pc.not_equal(t["node"], t["label"])
+        lambda t: pa.table(
+            {
+                "u": pa.chunked_array([t["node"].combine_chunks(), t["label"].combine_chunks()]).combine_chunks(),
+                "v": pa.chunked_array([t["label"].combine_chunks(), t["node"].combine_chunks()]).combine_chunks(),
+            }
+        ).filter(
+            pc.not_equal(
+                pa.chunked_array([t["node"].combine_chunks(), t["label"].combine_chunks()]).combine_chunks(),
+                pa.chunked_array([t["label"].combine_chunks(), t["node"].combine_chunks()]).combine_chunks(),
+            )
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    edges_aug = edges.union(label_edges)
+    aug = edges.union(label_edges)
     lu = labels.rename_columns({"node": "u", "label": "lu"})
-    lv = labels.rename_columns({"node": "v", "label": "lv"})
-    e = hash_join(edges_aug, lu, on=["u"], num_partitions=num_partitions)
-    e = hash_join(e, lv, on=["v"], num_partitions=num_partitions)
+    e = hash_join(aug, lu, on=["u"], num_partitions=num_partitions)
 
     def emit_messages(t: pa.Table) -> pa.Table:
-        m = pc.min_element_wise(t["lu"], t["lv"])
-        if isinstance(m, pa.ChunkedArray):
-            m = m.combine_chunks()
-        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
-        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
-        node = pa.chunked_array([u, v]).combine_chunks()
-        label = pa.chunked_array([m, m]).combine_chunks()
-        sent = pa.array([_SENTINEL] * len(node), type=pa.string())
-        return pa.table({"node": node, "label": label, "old_label": sent})
+        sent = pa.array([_SENTINEL] * t.num_rows, type=pa.string())
+        return pa.table({"node": t["v"], "label": t["lu"], "old_label": sent})
 
     msgs = e.map_batches(emit_messages, batch_format="pyarrow", zero_copy_batch=True)
     tagged = labels.map_batches(
@@ -112,7 +143,9 @@ def _propagate_once(edges: Dataset, labels: Dataset, num_partitions: int) -> Dat
         return g.groupby("node", as_index=False).agg(label=("label", "min"), old_label=("old_label", "min"))
 
     agg = bucketed_apply(msgs.union(tagged), ["node"], min_per_node, num_buckets=num_partitions)
-    # back to arrow blocks so downstream Project/rename ops work
+    # arrow blocks for downstream Project ops + repartition to CAP the block
+    # count: groupby derives its partition count from input blocks, so without
+    # this the per-iteration block count (and task count) grows without bound
     return agg.map_batches(lambda t: t, batch_format="pyarrow").repartition(num_partitions)
 
 
@@ -140,7 +173,15 @@ def connected_components(
     ``max_iters`` bounds one call — if the fixpoint isn't reached the state
     file records ``converged=false`` and a later call continues.
     """
-    edges = edges.repartition(num_partitions).materialize()  # reused every iteration
+    import sys
+
+    # each iteration builds on the previous materialized labels; Ray retains
+    # logical-plan links across materialize(), so plan copies recurse ~O(ops ×
+    # iterations) — give them headroom (length-lex encoding keeps iterations
+    # ~log(diameter), but deep graphs at max_iters still need this)
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+
+    edges = _encode_edges(edges).repartition(num_partitions).materialize()  # reused every iteration
     if edges.count() == 0:
         empty = pa.table({"node": pa.array([], type=pa.string()), "label": pa.array([], type=pa.string())})
         return rd.from_arrow(empty)
@@ -153,7 +194,7 @@ def connected_components(
         start_iter = state["iteration"]
         labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{start_iter}"))
         if state.get("converged"):
-            return labels
+            return _decode_labels(labels)
     if labels is None:
         labels = _initial_labels(edges, num_partitions)
         if checkpoint_dir:
@@ -167,10 +208,15 @@ def connected_components(
     for it in range(start_iter + 1, start_iter + 1 + max_iters):
         agg = _propagate_once(edges, labels, num_partitions).materialize()
         changed = _count_changed(agg)
-        new_labels = agg.drop_columns(["old_label"])  # lazy over materialized blocks
+        new_labels = agg.drop_columns(["old_label"])
         if checkpoint_dir:
             _checkpoint_labels(new_labels, checkpoint_dir, it, converged=False)
             new_labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{it}"))
+        else:
+            # keep every iteration's label table MATERIALIZED: feeding lazy
+            # label chains into the multi-consumer propagate plan (label_edges
+            # + join side + tagged) deadlocks Ray's streaming executor
+            new_labels = new_labels.materialize()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -178,7 +224,19 @@ def connected_components(
     if checkpoint_dir:
         with open(state_path, "w") as f:
             json.dump({"iteration": it, "converged": converged}, f)
-    return labels
+    return _decode_labels(labels)
+
+
+def _decode_labels(labels: Dataset) -> Dataset:
+    def dec(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([_decode_id(x) for x in t["node"].to_pylist()], type=pa.string()),
+                "label": pa.array([_decode_id(x) for x in t["label"].to_pylist()], type=pa.string()),
+            }
+        )
+
+    return labels.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _checkpoint_labels(labels: Dataset, checkpoint_dir: str, iteration: int, converged: bool) -> None:
@@ -218,7 +276,8 @@ def clusters_from_labels(
         num_buckets=num_partitions,
     ).map_batches(lambda t: t, batch_format="pyarrow")
     if renumber == "dense":
-        rows = sizes_ds.sort("label").take_all()
+        rows = sizes_ds.take_all()
+        rows.sort(key=lambda r: (len(r["label"]), r["label"]))  # length-lex = CC's representative order
         mapping = {r["label"]: (i, r["cluster_size"]) for i, r in enumerate(rows)}
 
         def assign(t: pa.Table) -> pa.Table:
