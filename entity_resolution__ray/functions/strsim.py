@@ -81,6 +81,10 @@ def lcs_and_edit_batch(a_list: Sequence[str], b_list: Sequence[str]) -> Tuple[np
     edit_out = np.empty(n, dtype=np.float64)
     for i in range(n):
         a, b = a_list[i], b_list[i]
+        if a == b:
+            lcs_out[i] = 1.0
+            edit_out[i] = 1.0
+            continue
         l = lcs_len(a, b)
         mx = max(len(a), len(b))
         tot = len(a) + len(b)
@@ -147,8 +151,12 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, boost_threshold: fl
 
 
 def jaro_winkler_batch(a_list: Sequence[str], b_list: Sequence[str]) -> np.ndarray:
+    # equal strings short-circuit to 1.0 — near-dup pipelines score many
+    # identical pairs and JW is the costliest O(len²) kernel
     return np.fromiter(
-        (jaro_winkler(a, b) for a, b in zip(a_list, b_list)), dtype=np.float64, count=len(a_list)
+        (1.0 if a == b else jaro_winkler(a, b) for a, b in zip(a_list, b_list)),
+        dtype=np.float64,
+        count=len(a_list),
     )
 
 

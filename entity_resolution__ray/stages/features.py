@@ -224,8 +224,8 @@ def pair_features(
     pairs_with_texts: Dataset,
     vec_word: Vectorizer,
     vec_char: Vectorizer,
-    batch_size: int = 2048,
-    concurrency=(1, 8),
+    batch_size: int = 4096,
+    concurrency=(1, 16),
     max_strlen: int = 128,
 ) -> Dataset:
     """Score candidate pairs with the 8-feature kernel (actor pool)."""
