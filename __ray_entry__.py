@@ -368,7 +368,10 @@ def _q_er_clusters(sf_dir: str):
 
     out = run_er_pipeline(
         read_flat_documents_as_docs(sf_dir), model=_fixture_trained_model(), workdir=None,
-        config=ERConfig(num_partitions=16, use_geo=False, per_doc_topk=20, max_group_size=128),
+        config=ERConfig(
+            num_partitions=16, use_geo=False, run_cohort_transitivity=False,
+            per_doc_topk=40, max_group_size=256,  # the reference's k=40 blocking fan-out
+        ),
     )
     return out["clusters_cc"]
 

@@ -51,6 +51,9 @@ class ERConfig:
     transitivity_min_prob: float = 0.60
     use_geo: bool = True
     use_token_overlap: bool = False
+    # the cohort transitivity stage is geo-derived; corpora with no country
+    # signal (or geo-free runs) can skip the countries attach + cohort CC
+    run_cohort_transitivity: bool = True
     attach_mode: str = "broadcast"  # "join" at 10^12-doc scale
     num_partitions: int = 16
     vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
@@ -146,10 +149,14 @@ def run_er_pipeline(
     edges = checkpoint_stage(score_pairs(feats, model), workdir, "04_edges")
 
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
-    edges_sides = attach_doc_columns(
-        edges, norm, {"countries": ("src_countries", "cand_countries")},
-        mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
-    )
+    needs_countries = cfg.use_geo or cfg.run_cohort_transitivity
+    if needs_countries:
+        edges_sides = attach_doc_columns(
+            edges, norm, {"countries": ("src_countries", "cand_countries")},
+            mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+        )
+    else:
+        edges_sides = edges
     verdict = checkpoint_stage(
         apply_constraints(
             edges_sides,
@@ -172,16 +179,19 @@ def run_er_pipeline(
         workdir,
         "08_clusters_cc",
     )
-    coh_dir = os.path.join(workdir, "09_cc_cohort") if workdir else None
-    if coh_dir:
-        os.makedirs(coh_dir, exist_ok=True)
-    clusters_transitive = checkpoint_stage(
-        cohort_transitivity(
-            kept, min_prob=cfg.transitivity_min_prob, checkpoint_dir=coh_dir, num_partitions=cfg.num_partitions
-        ),
-        workdir,
-        "10_clusters_transitive",
-    )
+    clusters_transitive = None
+    if cfg.run_cohort_transitivity:
+        coh_dir = os.path.join(workdir, "09_cc_cohort") if workdir else None
+        if coh_dir:
+            os.makedirs(coh_dir, exist_ok=True)
+        clusters_transitive = checkpoint_stage(
+            cohort_transitivity(
+                kept, min_prob=cfg.transitivity_min_prob, checkpoint_dir=coh_dir,
+                num_partitions=cfg.num_partitions,
+            ),
+            workdir,
+            "10_clusters_transitive",
+        )
 
     return {
         "normalized": norm,

@@ -39,19 +39,67 @@ from ..schema import FEATURE_COLS
 # ---------------------------------------------------------------------------
 # fitting the global pair vectorizers (driver-side over an iterator of texts)
 # ---------------------------------------------------------------------------
-def fit_pair_vectorizers(norm_docs: Dataset, sample_limit: Optional[int] = None):
+def fit_pair_vectorizers(
+    norm_docs: Dataset, sample_limit: Optional[int] = None, distributed: bool = True
+):
     """Fit the word- and char-TF-IDF pair vectorizers over the corpus's
-    norm_text column, streaming batches to the driver (only term→df maps are
-    held in memory). With ``sample_limit``, fit on a bounded sample — the
-    scale path for 10^12 docs."""
+    norm_text column. With ``sample_limit``, fit on a bounded sample — the
+    scale path for 10^12 docs.
+
+    distributed=True (default): per-batch partial document-frequency maps are
+    computed in ``map_batches`` (the expensive char-3-5-gram analysis runs on
+    workers), merged by a bucketed count, and only the final (term, df) table
+    comes to the driver. distributed=False streams raw texts to the driver —
+    kept for tiny inputs and as the semantics reference."""
     vw = pair_word_tfidf()
     vc = pair_char_tfidf()
-    dfreq_w: Dict[str, int] = {}
-    dfreq_c: Dict[str, int] = {}
-    n = 0
     ds = norm_docs.select_columns(["norm_text"])
     if sample_limit is not None:
         ds = ds.limit(sample_limit)
+
+    if distributed:
+        import pandas as _pd
+
+        from .blocking import bucketed_apply
+
+        n = ds.count()
+        vw_a = pair_word_tfidf()
+        vc_a = pair_char_tfidf()
+
+        def partial_df(batch: pa.Table) -> pa.Table:
+            counts: Dict[tuple, int] = {}
+            for t in batch["norm_text"].to_pylist():
+                t = t or ""
+                for term in set(vw_a.analyze(t)):
+                    counts[("w", term)] = counts.get(("w", term), 0) + 1
+                for term in set(vc_a.analyze(t)):
+                    counts[("c", term)] = counts.get(("c", term), 0) + 1
+            kinds = [k for k, _ in counts]
+            terms = [t for _, t in counts]
+            vals = list(counts.values())
+            return pa.table(
+                {"kind": pa.array(kinds, type=pa.string()), "term": pa.array(terms, type=pa.string()),
+                 "df": pa.array(vals, type=pa.int64())}
+            )
+
+        partials = ds.map_batches(partial_df, batch_format="pyarrow", batch_size=4096)
+        merged = bucketed_apply(
+            partials, ["kind", "term"],
+            lambda g: g.groupby(["kind", "term"], as_index=False).agg(df=("df", "sum")),
+            num_buckets=32,
+        )
+        dfreq_w: Dict[str, int] = {}
+        dfreq_c: Dict[str, int] = {}
+        for b in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for k, term, df in zip(b["kind"].to_pylist(), b["term"].to_pylist(), b["df"].to_pylist()):
+                (dfreq_w if k == "w" else dfreq_c)[term] = df
+        vw.fit_from_document_frequencies(dfreq_w, n)
+        vc.fit_from_document_frequencies(dfreq_c, n)
+        return vw, vc
+
+    dfreq_w = {}
+    dfreq_c = {}
+    n = 0
     for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for t in batch["norm_text"].to_pylist():
             t = t or ""
