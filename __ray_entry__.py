@@ -371,6 +371,7 @@ def _q_er_clusters(sf_dir: str):
         config=ERConfig(
             num_partitions=16, use_geo=False, run_cohort_transitivity=False,
             per_doc_topk=40, max_group_size=256,  # the reference's k=40 blocking fan-out
+            cc_driver_fallback=100_000,
         ),
     )
     return out["clusters_cc"]

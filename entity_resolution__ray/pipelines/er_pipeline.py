@@ -58,6 +58,13 @@ class ERConfig:
     num_partitions: int = 16
     vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
     renumber: str = "dense"
+    # CC driver fast path for graphs below this edge count (0 = always
+    # distributed); never applies to checkpointed (resumable) runs
+    cc_driver_fallback: int = 0
+    # benchmark mode: keep single-consumer stages LAZY (no per-stage
+    # materialization) so the pipeline runs as one streaming execution;
+    # requires workdir=None. Checkpointed runs always materialize per stage.
+    lazy_stages: bool = False
 
 
 def train_matcher_from_labels(
@@ -109,7 +116,16 @@ def run_er_pipeline(
     (labels train a fresh matcher exactly like train_classifier.py)."""
     cfg = config or ERConfig()
 
-    # 1. normalize (span flatten + tokens + countries); spans pass through untouched
+    def stage(ds, name, multi_consumer=False):
+        """Checkpoint/materialize, or keep lazy single-consumer stages fused
+        into one streaming execution in lazy benchmark mode."""
+        if workdir is None and cfg.lazy_stages and not multi_consumer:
+            return ds
+        return checkpoint_stage(ds, workdir, name)
+
+    # 1. normalize (span flatten + tokens + countries); spans pass through
+    # untouched. Always materialized: it feeds blocking keys, stopwords, the
+    # vectorizer fit and both broadcast attaches.
     norm = checkpoint_stage(normalize_docs(docs), workdir, "01_normalized")
 
     # 2-3. blocking keys → candidate pairs (salted groupby shuffle + collapse)
@@ -125,9 +141,8 @@ def run_er_pipeline(
         use_token_keys=cfg.use_token_keys,
         stop_tokens=stop_tokens,
     )
-    pairs = checkpoint_stage(
+    pairs = stage(
         candidate_pairs(keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk),
-        workdir,
         "02_candidate_pairs",
     )
 
@@ -137,16 +152,18 @@ def run_er_pipeline(
         mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
     )
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
-    feats = checkpoint_stage(pair_features(with_texts, vec_word, vec_char), workdir, "03_pair_features")
+    training = model is None
+    feats = stage(pair_features(with_texts, vec_word, vec_char), "03_pair_features",
+                  multi_consumer=training)
 
     # 6. matcher: train on labeled pairs (driver-side protocol) or use given model
-    if model is None:
+    if training:
         if labeled_pairs is None:
             raise ValueError("need labeled_pairs or a pre-trained model")
         model = train_matcher_from_labels(feats, labeled_pairs)
 
     # 7. score all pairs (actor pool)
-    edges = checkpoint_stage(score_pairs(feats, model), workdir, "04_edges")
+    edges = stage(score_pairs(feats, model), "04_edges")
 
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
     needs_countries = cfg.use_geo or cfg.run_cohort_transitivity
@@ -157,26 +174,27 @@ def run_er_pipeline(
         )
     else:
         edges_sides = edges
-    verdict = checkpoint_stage(
+    verdict = stage(
         apply_constraints(
             edges_sides,
             min_prob=cfg.constraints_min_prob,
             use_geo=cfg.use_geo,
             use_token_overlap=cfg.use_token_overlap,
         ),
-        workdir,
         "05_edge_verdicts",
     )
     kept, dropped = split_kept_dropped(verdict)
-    kept = checkpoint_stage(kept, workdir, "06_edges_filtered")
+    kept = stage(kept, "06_edges_filtered", multi_consumer=cfg.run_cohort_transitivity)
 
     # 9. clustering: flat CC (C7) and cohort transitivity (C5), both resumable
     cc_dir = os.path.join(workdir, "07_cc") if workdir else None
     if cc_dir:
         os.makedirs(cc_dir, exist_ok=True)
-    clusters_flat = checkpoint_stage(
-        cc_clusters(kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=cfg.renumber),
-        workdir,
+    clusters_flat = stage(
+        cc_clusters(
+            kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=cfg.renumber,
+            driver_fallback_threshold=cfg.cc_driver_fallback,
+        ),
         "08_clusters_cc",
     )
     clusters_transitive = None
@@ -184,12 +202,12 @@ def run_er_pipeline(
         coh_dir = os.path.join(workdir, "09_cc_cohort") if workdir else None
         if coh_dir:
             os.makedirs(coh_dir, exist_ok=True)
-        clusters_transitive = checkpoint_stage(
+        clusters_transitive = stage(
             cohort_transitivity(
                 kept, min_prob=cfg.transitivity_min_prob, checkpoint_dir=coh_dir,
                 num_partitions=cfg.num_partitions,
+                driver_fallback_threshold=cfg.cc_driver_fallback,
             ),
-            workdir,
             "10_clusters_transitive",
         )
 

@@ -158,11 +158,48 @@ def _count_changed(agg: Dataset) -> int:
     ).count()
 
 
+def _driver_dsu_labels(edges: Dataset) -> Dataset:
+    """Small-graph fast path: pull the (tiny) edge list to the driver, run
+    union-find, return the same (node, label=min-member) table the
+    distributed path yields. Representative = numeric-aware (length-lex) min,
+    matching the distributed encoding."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    rows = []
+    for group in members.values():
+        rep = min(group, key=lambda s: (len(s), s))
+        rows.extend({"node": n, "label": rep} for n in group)
+    if not rows:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], type=pa.string()), "label": pa.array([], type=pa.string())})
+        )
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
 def connected_components(
     edges: Dataset,
     checkpoint_dir: Optional[str] = None,
     num_partitions: int = 16,
     max_iters: int = 50,
+    driver_fallback_threshold: int = 0,
 ) -> Dataset:
     """edges (u:string, v:string) → labels (node:string, label:string = min
     node id of the component).
@@ -180,6 +217,15 @@ def connected_components(
     # iterations) — give them headroom (length-lex encoding keeps iterations
     # ~log(diameter), but deep graphs at max_iters still need this)
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
+
+    if driver_fallback_threshold and checkpoint_dir is None:
+        raw = edges.materialize()
+        if raw.count() <= driver_fallback_threshold:
+            # tiny graph: a driver DSU beats log(n) distributed rounds of
+            # shuffle latency; the distributed path below is the default and
+            # the only path when checkpoint/resume is requested
+            return _driver_dsu_labels(raw)
+        edges = raw
 
     edges = _encode_edges(edges).repartition(num_partitions).materialize()  # reused every iteration
     if edges.count() == 0:
@@ -315,6 +361,7 @@ def cc_clusters(
     checkpoint_dir: Optional[str] = None,
     num_partitions: int = 16,
     renumber: str = "dense",
+    driver_fallback_threshold: int = 0,
 ) -> Dataset:
     """Flat CC clustering (C7 / apply_clustering_algorithm.py): edges
     (id_left, id_right) → (node_id, cluster_id, cluster_size)."""
@@ -323,7 +370,10 @@ def cc_clusters(
     e = edges.map_batches(
         lambda t: pa.table({"u": t["id_left"], "v": t["id_right"]}), batch_format="pyarrow"
     )
-    labels = connected_components(e, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions)
+    labels = connected_components(
+        e, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions,
+        driver_fallback_threshold=driver_fallback_threshold,
+    )
     return clusters_from_labels(labels, renumber=renumber, num_partitions=num_partitions)
 
 
@@ -411,6 +461,7 @@ def cohort_transitivity(
     min_prob: float = DEFAULT_TRANSITIVITY_MIN_PROB,
     checkpoint_dir: Optional[str] = None,
     num_partitions: int = 16,
+    driver_fallback_threshold: int = 0,
 ) -> Dataset:
     """C5: per-cohort transitive closure → globally renumbered clusters.
 
@@ -428,7 +479,10 @@ def cohort_transitivity(
         return pa.table({"u": cu, "v": cv})
 
     comp_edges = seeds.map_batches(composite, batch_format="pyarrow", zero_copy_batch=True)
-    labels = connected_components(comp_edges, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions)
+    labels = connected_components(
+        comp_edges, checkpoint_dir=checkpoint_dir, num_partitions=num_partitions,
+        driver_fallback_threshold=driver_fallback_threshold,
+    )
 
     def split_composite(t: pa.Table) -> pa.Table:
         nodes = t["node"].to_pylist()

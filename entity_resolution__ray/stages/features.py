@@ -272,11 +272,18 @@ def pair_features(
     pairs_with_texts: Dataset,
     vec_word: Vectorizer,
     vec_char: Vectorizer,
-    batch_size: int = 4096,
-    concurrency=(1, 16),
+    batch_size: int = 2048,
+    concurrency=None,
     max_strlen: int = 128,
 ) -> Dataset:
-    """Score candidate pairs with the 8-feature kernel (actor pool)."""
+    """Score candidate pairs with the 8-feature kernel (actor pool).
+
+    Default pool size = 75% of cluster CPUs (the feature kernel is the
+    pipeline's dominant compute; the remaining CPUs keep the read/shuffle
+    stages fed) — sized per cluster so throughput scales with cluster size."""
+    if concurrency is None:
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(4, (total_cpus * 3) // 4))
     vec_word_ref = ray.put(vec_word)
     vec_char_ref = ray.put(vec_char)
     return pairs_with_texts.map_batches(
