@@ -55,6 +55,11 @@ class ERConfig:
     # signal (or geo-free runs) can skip the countries attach + cohort CC
     run_cohort_transitivity: bool = True
     attach_mode: str = "broadcast"  # "join" at 10^12-doc scale
+    # "bundles": doc-side vectors/token state precomputed once per doc and
+    # broadcast; pair scoring is pure arithmetic (fast small-side path).
+    # "texts": attach raw texts to pairs and analyze per batch (large-side /
+    # conformance path).
+    features_mode: str = "bundles"
     num_partitions: int = 16
     vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
     renumber: str = "dense"
@@ -146,15 +151,20 @@ def run_er_pipeline(
         "02_candidate_pairs",
     )
 
-    # 4-5. attach texts (J1) + feature kernel (8 features, actor pool)
-    with_texts = attach_doc_columns(
-        pairs, norm, {"norm_text": ("src_text", "cand_text")},
-        mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
-    )
+    # 4-5. feature kernel (8 features, actor pool)
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
     training = model is None
-    feats = stage(pair_features(with_texts, vec_word, vec_char), "03_pair_features",
-                  multi_consumer=training)
+    if cfg.features_mode == "bundles":
+        from ..stages.features import pair_features_broadcast
+
+        feats_ds = pair_features_broadcast(pairs, norm, vec_word, vec_char)
+    else:
+        with_texts = attach_doc_columns(
+            pairs, norm, {"norm_text": ("src_text", "cand_text")},
+            mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+        )
+        feats_ds = pair_features(with_texts, vec_word, vec_char)
+    feats = stage(feats_ds, "03_pair_features", multi_consumer=training)
 
     # 6. matcher: train on labeled pairs (driver-side protocol) or use given model
     if training:
@@ -166,11 +176,14 @@ def run_er_pipeline(
     edges = stage(score_pairs(feats, model), "04_edges")
 
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
-    needs_countries = cfg.use_geo or cfg.run_cohort_transitivity
-    if needs_countries:
+    attach_cols = {}
+    if cfg.use_geo or cfg.run_cohort_transitivity:
+        attach_cols["countries"] = ("src_countries", "cand_countries")
+    if cfg.use_token_overlap and "src_text" not in (edges.schema().names or []):
+        attach_cols["norm_text"] = ("src_text", "cand_text")
+    if attach_cols:
         edges_sides = attach_doc_columns(
-            edges, norm, {"countries": ("src_countries", "cand_countries")},
-            mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+            edges, norm, attach_cols, mode=cfg.attach_mode, num_partitions=cfg.num_partitions
         )
     else:
         edges_sides = edges

@@ -32,7 +32,13 @@ import ray
 from ray.data import Dataset
 
 from ..functions import strsim
-from ..functions.vectorizer import Vectorizer, pair_char_tfidf, pair_count_vectorizer, pair_word_tfidf
+from ..functions.vectorizer import (
+    WORD_1PLUS,
+    Vectorizer,
+    pair_char_tfidf,
+    pair_count_vectorizer,
+    pair_word_tfidf,
+)
 from ..schema import FEATURE_COLS
 
 
@@ -170,6 +176,195 @@ def attach_texts(
     )
     out = hash_join(pairs, docs_l, on=["id_left"], num_partitions=num_partitions)
     return hash_join(out, docs_r, on=["id_right"], num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# doc-side precomputation (each doc analyzed ONCE, not once per pair)
+# ---------------------------------------------------------------------------
+# A doc participates in ~k candidate pairs; analyzing its text per pair costs
+# k× the work. Instead a distributed map computes, per doc: the fitted
+# word/char TF-IDF rows, WORD_1PLUS token counts (for the scope-invariant
+# count cosine), the token set/list, metaphone(first token) and the truncated
+# string for the O(len²) kernels. Bundles are broadcast (ray.put) and the pair
+# stage becomes pure per-pair arithmetic. Semantics identical to the text path
+# (same fitted vectorizers, same kernels) — covered by the parity test.
+
+_COUNT_TOKEN_RE = None
+
+
+def _count_tokens(text: str):
+    global _COUNT_TOKEN_RE
+    if _COUNT_TOKEN_RE is None:
+        import re
+
+        _COUNT_TOKEN_RE = re.compile(WORD_1PLUS)
+    return _COUNT_TOKEN_RE.findall(text)
+
+
+class DocBundleBuilder:
+    """Batch fn: (doc_id, norm_text) → pickled per-doc feature bundle."""
+
+    def __init__(self, vec_word_ref, vec_char_ref, max_strlen: int = 128):
+        self.vw: Vectorizer = ray.get(vec_word_ref)
+        self.vc: Vectorizer = ray.get(vec_char_ref)
+        self.max_strlen = max_strlen
+
+    def bundle(self, text: str) -> tuple:
+        from ..functions import strsim as _ss
+
+        iw, jw_, dw = self.vw.transform([text])
+        ic, jc, dc = self.vc.transform([text])
+        counts: Dict[str, int] = {}
+        toks = _count_tokens(text)
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        cnorm = float(np.sqrt(sum(v * v for v in counts.values())))
+        tokens = text.split(" ") if text else []
+        first_mp = _ss.metaphone(tokens[0]) if tokens else None
+        return (
+            jw_.astype(np.int64), dw.astype(np.float64), float(np.sqrt((dw * dw).sum())),
+            jc.astype(np.int64), dc.astype(np.float64), float(np.sqrt((dc * dc).sum())),
+            counts, cnorm,
+            frozenset(tokens), first_mp, text[: self.max_strlen],
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        ids = batch["doc_id"].to_pylist()
+        texts = [t or "" for t in batch["norm_text"].to_pylist()]
+        blobs = [pickle.dumps(self.bundle(t)) for t in texts]
+        return pa.table({"doc_id": pa.array(ids), "bundle": pa.array(blobs, type=pa.binary())})
+
+
+def build_doc_bundles(
+    norm_docs: Dataset, vec_word: Vectorizer, vec_char: Vectorizer, max_strlen: int = 128,
+    concurrency=None,
+) -> "ray.ObjectRef":
+    """Distributed doc-side analysis → broadcast {doc_id: pickled bundle}."""
+    if concurrency is None:
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(4, (total_cpus * 3) // 4))
+    vw_ref = ray.put(vec_word)
+    vc_ref = ray.put(vec_char)
+    bundles = norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
+        DocBundleBuilder,
+        fn_constructor_kwargs={"vec_word_ref": vw_ref, "vec_char_ref": vc_ref, "max_strlen": max_strlen},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=concurrency,
+    )
+    lookup: Dict = {}
+    for b in bundles.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        lookup.update(zip(b["doc_id"].to_pylist(), b["bundle"].to_pylist()))
+    return ray.put(lookup)
+
+
+def _sparse_dot(ia, va, ib, vb) -> float:
+    common, xa, xb = np.intersect1d(ia, ib, assume_unique=True, return_indices=True)
+    if len(common) == 0:
+        return 0.0
+    return float(va[xa] @ vb[xb])
+
+
+class PairFeaturesFromBundles:
+    """Actor batch fn: (id_left, id_right, …) → + 8 feature columns, using
+    broadcast doc bundles. The per-pair work is sparse dots + the truncated
+    O(len²) string kernels — no text analysis in the pair path at all."""
+
+    def __init__(self, bundles_ref):
+        import pickle
+
+        raw = ray.get(bundles_ref)
+        self.docs = {k: pickle.loads(v) for k, v in raw.items()}
+        self.empty = None
+
+    def _get(self, doc_id):
+        b = self.docs.get(doc_id)
+        if b is None:
+            if self.empty is None:
+                import pickle
+
+                z = np.empty(0, dtype=np.int64)
+                zf = np.empty(0, dtype=np.float64)
+                self.empty = (z, zf, 0.0, z, zf, 0.0, {}, 0.0, frozenset(), None, "")
+            return self.empty
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import strsim as _ss
+
+        lefts = batch["id_left"].to_pylist()
+        rights = batch["id_right"].to_pylist()
+        n = len(lefts)
+        out = {c: np.empty(n, dtype=np.float64) for c in FEATURE_COLS}
+        for i in range(n):
+            a = self._get(lefts[i])
+            b = self._get(rights[i])
+            aw_i, aw_v, aw_n, ac_i, ac_v, ac_n, a_cnt, a_cn, a_set, a_mp, a_txt = a
+            bw_i, bw_v, bw_n, bc_i, bc_v, bc_n, b_cnt, b_cn, b_set, b_mp, b_txt = b
+            # tfidf cosines (zero-norm denominator forced to 1.0 → 0.0 score)
+            dw = _sparse_dot(aw_i, aw_v, bw_i, bw_v)
+            out["tfidf_word_cosine"][i] = dw / (aw_n * bw_n) if aw_n and bw_n else 0.0
+            dc = _sparse_dot(ac_i, ac_v, bc_i, bc_v)
+            out["tfidf_char_cosine"][i] = dc / (ac_n * bc_n) if ac_n and bc_n else 0.0
+            # count cosine from token-count dicts (scope-invariant)
+            if a_cn and b_cn:
+                small, big = (a_cnt, b_cnt) if len(a_cnt) <= len(b_cnt) else (b_cnt, a_cnt)
+                num = 0.0
+                for t, v in small.items():
+                    w = big.get(t)
+                    if w:
+                        num += v * w
+                out["token_cosine"][i] = num / (a_cn * b_cn)
+            else:
+                out["token_cosine"][i] = 0.0
+            out["token_jaccard"][i] = _ss.jaccard(a_set, b_set)
+            out["dmetaphone_match"][i] = (
+                0.0 if (a_mp is None or b_mp is None) else float(a_mp == b_mp)
+            )
+            if a_txt == b_txt:
+                out["jaro_winkler"][i] = 1.0
+                out["lcs_ratio"][i] = 1.0
+                out["edit_ratio"][i] = 1.0
+            else:
+                out["jaro_winkler"][i] = _ss.jaro_winkler(a_txt, b_txt)
+                l = _ss.lcs_len(a_txt, b_txt)
+                mx = max(len(a_txt), len(b_txt))
+                tot = len(a_txt) + len(b_txt)
+                out["lcs_ratio"][i] = (l / mx) if mx else 1.0
+                out["edit_ratio"][i] = (2.0 * l / tot) if tot else 1.0
+        for c in FEATURE_COLS:
+            batch = batch.append_column(c, pa.array(out[c], type=pa.float64()))
+        return batch
+
+
+def pair_features_broadcast(
+    pairs: Dataset,
+    norm_docs: Dataset,
+    vec_word: Vectorizer,
+    vec_char: Vectorizer,
+    batch_size: int = 8192,
+    concurrency=None,
+    max_strlen: int = 128,
+) -> Dataset:
+    """Feature scoring with broadcast doc-side bundles: doc analysis runs once
+    per DOC (distributed), pair scoring is pure arithmetic. Small-side path —
+    the bundles dict must fit the object store (use the text-attach ``join``
+    path + :func:`pair_features` beyond that)."""
+    if concurrency is None:
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(4, (total_cpus * 3) // 4))
+    bundles_ref = build_doc_bundles(norm_docs, vec_word, vec_char, max_strlen=max_strlen)
+    return pairs.map_batches(
+        PairFeaturesFromBundles,
+        fn_constructor_kwargs={"bundles_ref": bundles_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 # ---------------------------------------------------------------------------

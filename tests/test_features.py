@@ -101,3 +101,35 @@ def test_pair_features_dataset_stage(ray_session):
     assert len(out) == 1
     for col in FEATURE_COLS:
         assert -1e-9 <= out[col].iloc[0] <= 1.0 + 1e-9
+
+
+def test_bundle_path_matches_text_path(ray_session):
+    """pair_features_broadcast (doc bundles) must produce the same 8 features
+    as the attach-texts path on identical pairs."""
+    import pandas as pd
+
+    from entity_resolution__ray.stages.features import pair_features_broadcast
+
+    docs, _, _ = generate_corpus(n_entities=15, seed=4)
+    norm_tbl = NormalizeDocs()(docs)
+    norm = rd.from_arrow(norm_tbl)
+    vw, vc = fit_pair_vectorizers(norm)
+    ids = norm_tbl["doc_id"].to_pylist()
+    pairs = rd.from_items(
+        [{"id_left": ids[i], "id_right": ids[i + 1]} for i in range(0, 40, 2)],
+        override_num_blocks=2,
+    )
+    via_text = (
+        pair_features(attach_texts(pairs, norm, mode="broadcast"), vw, vc)
+        .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
+    )
+    via_bundles = (
+        pair_features_broadcast(pairs, norm, vw, vc)
+        .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
+    )
+    for col in FEATURE_COLS:
+        import numpy as np
+
+        np.testing.assert_allclose(
+            via_bundles[col].to_numpy(), via_text[col].to_numpy(), atol=1e-9, err_msg=col
+        )
