@@ -144,12 +144,13 @@ class BlockKeyEmitter:
 
 
 def emit_block_keys(norm_docs: Dataset, **emitter_kwargs) -> Dataset:
+    emitter = BlockKeyEmitter(**emitter_kwargs)  # pickled into tasks (small state)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return emitter(batch)
+
     return norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
-        BlockKeyEmitter,
-        fn_constructor_kwargs=emitter_kwargs,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        emit, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

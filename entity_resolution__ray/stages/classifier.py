@@ -265,12 +265,29 @@ class ScorerActor:
         )
 
 
-def score_pairs(pair_features_ds: Dataset, model: TrainedMatcher, concurrency=(1, 8)) -> Dataset:
+def score_pairs(pair_features_ds: Dataset, model: TrainedMatcher, concurrency=None) -> Dataset:
+    """Distributed scoring. Default: elastic tasks with the model fetched once
+    per worker process (state/worker_cache). Pass ``concurrency`` to force an
+    actor pool (ScorerActor) — useful to bound memory for large models."""
     model_ref = ray.put(model)
-    return pair_features_ds.map_batches(
-        ScorerActor,
-        fn_constructor_kwargs={"model_ref": model_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return pair_features_ds.map_batches(
+            ScorerActor,
+            fn_constructor_kwargs={"model_ref": model_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+
+    def score(batch: pa.Table, model_ref=model_ref) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        m: TrainedMatcher = cached_get(model_ref)
+        X = np.column_stack([batch[c].to_numpy(zero_copy_only=False) for c in m.feature_cols])
+        prob = m.predict_proba_np(X)
+        pred = (prob >= m.best_threshold).astype(np.int8)
+        return batch.append_column("prob_match", pa.array(prob, type=pa.float64())).append_column(
+            "pred_match", pa.array(pred, type=pa.int8())
+        )
+
+    return pair_features_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

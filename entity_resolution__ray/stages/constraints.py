@@ -120,18 +120,15 @@ def apply_constraints(
     keep/drop_reason columns; use :func:`split_kept_dropped` on a checkpointed
     copy for the two side outputs."""
     thresholded = threshold_filter(edges_with_sides, min_prob)
-    return thresholded.map_batches(
-        ConstraintVerdict,
-        fn_constructor_kwargs={
-            "use_geo": use_geo,
-            "use_token_overlap": use_token_overlap,
-            "stopwords": stopwords,
-            "min_jaccard": min_jaccard,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+    verdict = ConstraintVerdict(
+        use_geo=use_geo, use_token_overlap=use_token_overlap,
+        stopwords=stopwords, min_jaccard=min_jaccard,
     )
+
+    def apply_verdict(batch: pa.Table) -> pa.Table:
+        return verdict(batch)
+
+    return thresholded.map_batches(apply_verdict, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def split_kept_dropped(verdict_ds: Dataset) -> Tuple[Dataset, Dataset]:

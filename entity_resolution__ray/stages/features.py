@@ -201,12 +201,12 @@ def _count_tokens(text: str):
     return _COUNT_TOKEN_RE.findall(text)
 
 
-class DocBundleBuilder:
-    """Batch fn: (doc_id, norm_text) → pickled per-doc feature bundle."""
+class _BundleKernel:
+    """Per-doc bundle computation (used by the task-based build_doc_bundles)."""
 
-    def __init__(self, vec_word_ref, vec_char_ref, max_strlen: int = 128):
-        self.vw: Vectorizer = ray.get(vec_word_ref)
-        self.vc: Vectorizer = ray.get(vec_char_ref)
+    def __init__(self, vw: Vectorizer, vc: Vectorizer, max_strlen: int = 128):
+        self.vw = vw
+        self.vc = vc
         self.max_strlen = max_strlen
 
     def bundle(self, text: str) -> tuple:
@@ -239,21 +239,31 @@ class DocBundleBuilder:
 
 def build_doc_bundles(
     norm_docs: Dataset, vec_word: Vectorizer, vec_char: Vectorizer, max_strlen: int = 128,
-    concurrency=None,
 ) -> "ray.ObjectRef":
-    """Distributed doc-side analysis → broadcast {doc_id: pickled bundle}."""
-    if concurrency is None:
-        total_cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(4, (total_cpus * 3) // 4))
+    """Distributed doc-side analysis → broadcast {doc_id: pickled bundle}.
+    Runs as elastic tasks; the fitted vectorizers are fetched once per worker
+    process via the worker cache."""
     vw_ref = ray.put(vec_word)
     vc_ref = ray.put(vec_char)
+
+    def build(batch: pa.Table, vw_ref=vw_ref, vc_ref=vc_ref, max_strlen=max_strlen) -> pa.Table:
+        from ..state.worker_cache import cached_build, cached_get
+
+        vw = cached_get(vw_ref)
+        vc = cached_get(vc_ref)
+        builder = cached_build(
+            f"doc_bundle_builder:{id(vw)}:{max_strlen}",
+            lambda: _BundleKernel(vw, vc, max_strlen),
+        )
+        import pickle
+
+        ids = batch["doc_id"].to_pylist()
+        texts = [t or "" for t in batch["norm_text"].to_pylist()]
+        blobs = [pickle.dumps(builder.bundle(t)) for t in texts]
+        return pa.table({"doc_id": pa.array(ids), "bundle": pa.array(blobs, type=pa.binary())})
+
     bundles = norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
-        DocBundleBuilder,
-        fn_constructor_kwargs={"vec_word_ref": vw_ref, "vec_char_ref": vc_ref, "max_strlen": max_strlen},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=512,
-        concurrency=concurrency,
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=512
     )
     lookup: Dict = {}
     for b in bundles.iter_batches(batch_size=8192, batch_format="pyarrow"):
@@ -279,6 +289,11 @@ class PairFeaturesFromBundles:
         raw = ray.get(bundles_ref)
         self.docs = {k: pickle.loads(v) for k, v in raw.items()}
         self.empty = None
+
+    def __init_from_dict__(self, decoded: Dict) -> "PairFeaturesFromBundles":
+        self.docs = decoded
+        self.empty = None
+        return self
 
     def _get(self, doc_id):
         b = self.docs.get(doc_id)
@@ -352,18 +367,25 @@ def pair_features_broadcast(
     """Feature scoring with broadcast doc-side bundles: doc analysis runs once
     per DOC (distributed), pair scoring is pure arithmetic. Small-side path —
     the bundles dict must fit the object store (use the text-attach ``join``
-    path + :func:`pair_features` beyond that)."""
-    if concurrency is None:
-        total_cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(4, (total_cpus * 3) // 4))
+    path + :func:`pair_features` beyond that). Task-based: the decoded bundle
+    dict is built once per worker process."""
     bundles_ref = build_doc_bundles(norm_docs, vec_word, vec_char, max_strlen=max_strlen)
+
+    def score(batch: pa.Table, bundles_ref=bundles_ref) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        def decode(raw):
+            import pickle
+
+            return PairFeaturesFromBundles.__new__(PairFeaturesFromBundles).__init_from_dict__(
+                {k: pickle.loads(v) for k, v in raw.items()}
+            )
+
+        kernel = cached_get(bundles_ref, transform=decode, key_suffix=":decoded")
+        return kernel(batch)
+
     return pairs.map_batches(
-        PairFeaturesFromBundles,
-        fn_constructor_kwargs={"bundles_ref": bundles_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
 
 

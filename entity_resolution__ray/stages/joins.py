@@ -194,13 +194,29 @@ def attach_doc_columns(
     if mode == "broadcast":
         tbl = pa.concat_tables(list(proj.iter_batches(batch_size=65536, batch_format="pyarrow")))
         ref = ray.put(tbl)
-        return pairs.map_batches(
-            _AttachSides,
-            fn_constructor_kwargs={"table_ref": ref, "columns": columns},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency,
-        )
+
+        def attach(batch: pa.Table, ref=ref, columns=columns) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            # the lookup maps are built once per worker process
+            cols_key = ",".join(sorted(columns))
+            maps = cached_get(
+                ref,
+                transform=lambda t: [
+                    (dict(zip(t["doc_id"].to_pylist(), t[src].to_pylist())), names[0], names[1],
+                     t.schema.field(src).type)
+                    for src, names in columns.items()
+                ],
+                key_suffix=f":attach:{cols_key}",
+            )
+            lefts = batch["id_left"].to_pylist()
+            rights = batch["id_right"].to_pylist()
+            for lk, left_name, right_name, typ in maps:
+                batch = batch.append_column(left_name, pa.array([lk.get(d) for d in lefts], type=typ))
+                batch = batch.append_column(right_name, pa.array([lk.get(d) for d in rights], type=typ))
+            return batch
+
+        return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     left = proj.rename_columns({"doc_id": "id_left", **{c: names[0] for c, names in columns.items()}})
     right = proj.rename_columns({"doc_id": "id_right", **{c: names[1] for c, names in columns.items()}})
     out = hash_join(pairs, left, on=["id_left"], num_partitions=num_partitions)

@@ -79,15 +79,30 @@ class NormalizeDocs:
         )
 
 
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    """Task-based normalize: the compiled CountryExtractor is built once per
+    worker process (state/worker_cache) — actor-pool amortization without a
+    pool; tasks stay elastic across the cluster."""
+    from ..state.worker_cache import cached_build
+
+    extractor = cached_build("country_extractor", CountryExtractor)
+    full_text = flatten_spans_to_text(batch["spans"])
+    norm_text = norm_text_array(full_text)
+    tokens = tokens_array(full_text)
+    countries = pa.array(extractor.extract_batch(full_text.to_pylist()), type=pa.list_(pa.string()))
+    return (
+        batch.append_column("full_text", full_text)
+        .append_column("norm_text", norm_text)
+        .append_column("tokens", tokens)
+        .append_column("countries", countries)
+    )
+
+
 def normalize_docs(docs: Dataset, concurrency=None, batch_size: int = 4096) -> Dataset:
     """docs (doc_id, spans) → NORMALIZED_DOCS_SCHEMA."""
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
     return docs.map_batches(
-        NormalizeDocs,
+        _normalize_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=kwargs.get("concurrency", (1, 8)),
     )

@@ -1,0 +1,47 @@
+"""Per-worker-process state cache for task-based ``map_batches`` stages.
+
+Two ways to amortize expensive setup (model load, vocabulary unpickle, lookup
+dict build) across batches:
+
+  * actor pools — ``map_batches(Cls, concurrency=N)``: setup in ``__init__``.
+    Pool size must be chosen per stage and pool startup is serial; with many
+    stages the pools' spin-up dominates small/medium runs and idle pools pin
+    CPUs.
+  * plain tasks + this cache — ``map_batches(fn)`` where ``fn`` resolves its
+    state through :func:`cached_get`. Ray reuses worker processes, so the
+    first task in each worker pays the ``ray.get``/decode once and every
+    later task (from ANY stage) hits the module-global cache. Tasks are
+    elastic — they use whatever CPUs are free — which is what makes stage
+    throughput track cluster size.
+
+The engine uses the task+cache form for its hot pipeline stages and keeps
+actor-pool classes where an explicit pool is the better fit (bounded-memory
+model inference, GPU stages).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import ray
+
+_CACHE: dict = {}
+
+
+def cached_get(ref, transform: Optional[Callable[[Any], Any]] = None, key_suffix: str = ""):
+    """Resolve an ObjectRef once per worker process (optionally post-processing
+    with ``transform``, also cached — e.g. bytes → unpickled dict)."""
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref)) + key_suffix
+    if key not in _CACHE:
+        value = ray.get(ref)
+        if transform is not None:
+            value = transform(value)
+        _CACHE[key] = value
+    return _CACHE[key]
+
+
+def cached_build(key: str, builder: Callable[[], Any]):
+    """Build-once-per-worker for state derived from plain (picklable) args."""
+    if key not in _CACHE:
+        _CACHE[key] = builder()
+    return _CACHE[key]
