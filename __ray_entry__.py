@@ -173,6 +173,18 @@ def _q_revenue_by_nation(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    # o_totalprice is 2-decimal currency: sum exact integer cents so the
+    # result is independent of partitioning/summation order (float sums
+    # flip last digits when the shuffle layout changes)
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).rename_columns(
         {"c_custkey": "o_custkey"}
     )
@@ -182,10 +194,16 @@ def _q_revenue_by_nation(sf_dir: str):
     j = hash_join(orders, cust, on=["o_custkey"], num_partitions=8)
     j = hash_join(j, nation, on=["c_nationkey"], num_partitions=8)
     out = j.groupby("n_name").aggregate(
-        Sum("o_totalprice", alias_name="total_price"), Count(alias_name="n_orders")
+        Sum("cents", alias_name="cents"), Count(alias_name="n_orders")
     )
     return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("total_price"), "total_price", pc.round(t["total_price"], 2)),
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "total_price": pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 2),
+                "n_orders": t["n_orders"],
+            }
+        ),
         batch_format="pyarrow",
     )
 
@@ -196,13 +214,14 @@ def _q_orders_by_customer(sf_dir: str):
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def agg(g):
+        g = g.assign(cents=(g["o_totalprice"] * 100).round().astype("int64"))
         out = g.groupby("o_custkey", as_index=False).agg(
             n_orders=("o_totalprice", "size"),
-            sum_price=("o_totalprice", "sum"),
+            cents=("cents", "sum"),
             max_price=("o_totalprice", "max"),
         )
-        out["sum_price"] = out["sum_price"].round(2)
-        return out
+        out["sum_price"] = (out["cents"] / 100.0).round(2)
+        return out[["o_custkey", "n_orders", "sum_price", "max_price"]]
 
     return bucketed_apply(orders, ["o_custkey"], agg, num_buckets=32)
 
@@ -297,11 +316,12 @@ def _q_tumbling_window(sf_dir: str):
     windowed = ev.map_batches(add_window, batch_format="pyarrow")
 
     def agg(g):
+        g = g.assign(cents=(g["value"] * 100).round().astype("int64"))  # value is 2-decimal
         out = g.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("value", "size"), cents=("cents", "sum")
         )
-        out["sum_value"] = out["sum_value"].round(4)
-        return out
+        out["sum_value"] = (out["cents"] / 100.0).round(4)
+        return out[["user_id", "window_start", "n_events", "sum_value"]]
 
     return bucketed_apply(windowed, ["user_id", "window_start"], agg, num_buckets=32)
 

@@ -25,7 +25,6 @@ Partitioning assumptions: block keys are hash-partitioned; a single hot key
 
 from __future__ import annotations
 
-import hashlib
 import logging
 import re
 from typing import List, Optional, Sequence, Set, Tuple
@@ -38,6 +37,15 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min
 
+from ..functions.hashing import (
+    band_keys_batch,
+    bucket_ids,
+    hash_token_list,
+    minhash_signatures_batch,
+    qgram_hashes_batch,
+    u64_to_hex_strings,
+)
+
 logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
@@ -47,12 +55,9 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def stable_token_hashes(tokens: Sequence[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes (blake2b) — stable across processes, unlike
-    Python's salted ``hash``."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        out[i] = np.frombuffer(hashlib.blake2b(t.encode(), digest_size=8).digest(), dtype=np.uint64)[0]
-    return out
+    """Deterministic 64-bit hashes — stable across processes, unlike Python's
+    salted ``hash``. Vectorized polynomial hash (functions/hashing.py)."""
+    return hash_token_list(tokens)
 
 
 def char_qgrams(text: str, q: int = 4) -> List[str]:
@@ -117,30 +122,45 @@ class BlockKeyEmitter:
         self.use_token_keys = use_token_keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        norm_texts = batch["norm_text"].to_pylist()
-        out_key: List[str] = []
-        out_doc: List[str] = []
-        out_text: List[str] = []
-        for did, nt in zip(doc_ids, norm_texts):
-            nt = nt or ""
-            keys: List[str] = []
-            if self.use_token_keys:
-                toks = {
-                    t for t in nt.split(" ") if len(t) >= self.min_token_len and t not in self.stop_tokens
-                }
-                keys.extend(f"t:{t}" for t in sorted(toks))
-            if self.hasher is not None:
-                grams = char_qgrams(nt, self.qgram_size)
-                sig = self.hasher.signature(stable_token_hashes(grams))
-                for b in range(self.n_bands):
-                    chunk = sig[b * self.r : (b + 1) * self.r]
-                    h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                    keys.append(f"q{b}:{h}")
-            out_key.extend(keys)
-            out_doc.extend([did] * len(keys))
-            out_text.extend([nt] * len(keys))
-        return pa.table({"block_key": out_key, "doc_id": out_doc, "norm_text": out_text})
+        n = batch.num_rows
+        norm = pc.fill_null(batch["norm_text"], "")
+        key_arrays: List[np.ndarray] = []
+        row_arrays: List[np.ndarray] = []
+        if self.use_token_keys and n:
+            # distinct per-doc tokens via one explode (no per-row Python)
+            toks = (
+                pd.Series(norm.to_pandas(), copy=False).str.split(" ").explode().dropna()
+            )
+            toks = toks[toks.str.len() >= self.min_token_len]
+            if self.stop_tokens:
+                toks = toks[~toks.isin(self.stop_tokens)]
+            dedup = pd.DataFrame({"row": toks.index.to_numpy(), "tok": toks.to_numpy()}).drop_duplicates()
+            key_arrays.append(np.char.add("t:", dedup["tok"].to_numpy(dtype="U")))
+            row_arrays.append(dedup["row"].to_numpy(dtype=np.int64))
+        if self.hasher is not None and n:
+            gh, counts = qgram_hashes_batch(norm, self.qgram_size)
+            sigs = minhash_signatures_batch(gh, counts, self.hasher.a, self.hasher.b)
+            bands = band_keys_batch(sigs, self.n_bands, self.r)  # (n, n_bands)
+            hexes = u64_to_hex_strings(bands.ravel()).reshape(n, self.n_bands)
+            prefixes = np.array([f"q{b}:" for b in range(self.n_bands)], dtype="U4")
+            key_arrays.append(np.char.add(np.broadcast_to(prefixes, (n, self.n_bands)), hexes).ravel())
+            row_arrays.append(np.repeat(np.arange(n, dtype=np.int64), self.n_bands))
+        if not key_arrays:
+            return pa.table(
+                {"block_key": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.string()),
+                 "norm_text": pa.array([], type=pa.string())}
+            )
+        keys = np.concatenate(key_arrays)
+        rows = np.concatenate(row_arrays)
+        idx = pa.array(rows, type=pa.int64())
+        return pa.table(
+            {
+                "block_key": pa.array(keys),
+                "doc_id": pc.take(batch["doc_id"], idx),
+                "norm_text": pc.take(norm, idx),
+            }
+        )
 
 
 def emit_block_keys(norm_docs: Dataset, **emitter_kwargs) -> Dataset:
@@ -157,8 +177,9 @@ def emit_block_keys(norm_docs: Dataset, **emitter_kwargs) -> Dataset:
 # ---------------------------------------------------------------------------
 # Candidate-pair generation (shuffle #1: groupby block_key, salted)
 # ---------------------------------------------------------------------------
-def _salt_of(doc_id: str, n_sub: int) -> int:
-    return int.from_bytes(hashlib.blake2b(doc_id.encode(), digest_size=4).digest(), "little") % n_sub
+def _salts_of(doc_ids: np.ndarray, n_sub: int) -> np.ndarray:
+    """Deterministic sub-group assignment for hot-key salting (vectorized)."""
+    return (hash_token_list([str(d) for d in doc_ids]) % np.uint64(n_sub)).astype(np.int64)
 
 
 def _jaccard_token_sim(texts: List[str], ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
@@ -206,7 +227,7 @@ class PairEmitter:
 
         if g > self.max_group_size:
             n_sub = -(-g // self.max_group_size)  # ceil
-            salts = np.array([_salt_of(d, n_sub) for d in ids])
+            salts = _salts_of(ids, n_sub)
             dropped = g * (g - 1) // 2
             parts_ii, parts_jj = [], []
             for s in range(n_sub):
@@ -269,19 +290,7 @@ def bucketed_apply(
     cols = list(key_cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        col_lists = [t[c].to_pylist() for c in cols]
-        b = pa.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b("\x1f".join(map(str, row)).encode(), digest_size=4).digest(),
-                    "little",
-                )
-                % num_buckets
-                for row in zip(*col_lists)
-            ],
-            type=pa.int32(),
-        )
-        return t.append_column("__gb", b)
+        return t.append_column("__gb", bucket_ids(t, cols, num_buckets))
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
 

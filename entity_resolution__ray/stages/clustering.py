@@ -29,6 +29,7 @@ import json
 import os
 from typing import Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -80,17 +81,25 @@ def _decode_id(s: str) -> str:
     return s.split(_ORD_SEP, 1)[1]
 
 
+def _encode_col(col) -> pa.Array:
+    """Vectorized :func:`_encode_id` over an Arrow string column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.utf8_lpad(pc.cast(pc.utf8_length(col), pa.string()), 6, "0")
+    return pc.binary_join_element_wise(lens, col, _ORD_SEP)
+
+
 def _encode_edges(edges: Dataset) -> Dataset:
     """Encode ids and symmetrize: (u,v) ∪ (v,u) — one directed-message join
     per round then covers both directions."""
 
     def enc(t: pa.Table) -> pa.Table:
-        u = [_encode_id(x) for x in t["u"].to_pylist()]
-        v = [_encode_id(x) for x in t["v"].to_pylist()]
+        u = _encode_col(t["u"])
+        v = _encode_col(t["v"])
         return pa.table(
             {
-                "u": pa.array(u + v, type=pa.string()),
-                "v": pa.array(v + u, type=pa.string()),
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
             }
         )
 
@@ -275,10 +284,11 @@ def connected_components(
 
 def _decode_labels(labels: Dataset) -> Dataset:
     def dec(t: pa.Table) -> pa.Table:
+        # encoded form has a fixed 7-char prefix (6-digit length + separator)
         return pa.table(
             {
-                "node": pa.array([_decode_id(x) for x in t["node"].to_pylist()], type=pa.string()),
-                "label": pa.array([_decode_id(x) for x in t["label"].to_pylist()], type=pa.string()),
+                "node": pc.utf8_slice_codeunits(t["node"], 7),
+                "label": pc.utf8_slice_codeunits(t["label"], 7),
             }
         )
 
@@ -286,8 +296,16 @@ def _decode_labels(labels: Dataset) -> Dataset:
 
 
 def _checkpoint_labels(labels: Dataset, checkpoint_dir: str, iteration: int, converged: bool) -> None:
+    import shutil
+
     out = os.path.join(checkpoint_dir, f"labels_iter_{iteration}")
     tmp = out + ".tmp"
+    # a crash between parquet publish and cc_state.json write leaves state at
+    # K-1 while labels_iter_K exists — clear both leftovers so the recompute's
+    # write_parquet doesn't mix stale files into tmp and os.replace doesn't
+    # hit ENOTEMPTY on the existing out dir
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
     labels.write_parquet(tmp)
     os.replace(tmp, out)  # atomic publish
     with open(os.path.join(checkpoint_dir, "cc_state.json"), "w") as f:
@@ -334,15 +352,11 @@ def clusters_from_labels(
 
         out = labels.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     else:
-        import hashlib
+        from ..functions.hashing import hash_strings
 
         def hash_id(label_col) -> pa.Array:
             return pa.array(
-                [
-                    int.from_bytes(hashlib.blake2b(l.encode(), digest_size=8).digest(), "little") >> 1
-                    for l in label_col.to_pylist()
-                ],
-                type=pa.int64(),
+                (hash_strings(label_col) >> np.uint64(1)).astype(np.int64), type=pa.int64()
             )
 
         joined = hash_join(labels, sizes_ds, on=["label"], num_partitions=num_partitions)

@@ -14,34 +14,50 @@ Ray-Data-first:
                             candidates at Hamming distance ≤ k → verify
   * ngram_jaccard_dedup   — n-gram Jaccard verification over LSH candidates
   * embedding_near_dup    — random-hyperplane LSH over an embedding column →
-                            within-bucket cosine ≥ threshold
+                            within-bucket cosine ≥ threshold (vectors ride
+                            with the band rows — nothing is collected to the
+                            driver)
 
-All hash functions are seeded/stable across processes (blake2b + affine
-permutations), so every stage is deterministic under any partitioning.
+All hashing is the vectorized stable scheme in functions/hashing.py — no
+per-row / per-shingle Python calls anywhere; deterministic under any
+partitioning.
 """
 
 from __future__ import annotations
 
-import hashlib
+import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Max, Min
 
+from ..functions.hashing import (
+    _GOLDEN,
+    _splitmix64,
+    band_keys_batch,
+    hash_strings,
+    minhash_signatures_batch,
+    qgram_hashes_batch,
+    u64_to_hex_strings,
+)
 from .blocking import MinHasher, char_qgrams, stable_token_hashes
 from .clustering import connected_components
 from .joins import _arrow_schema as _arrow_schema_of
 
+logger = logging.getLogger(__name__)
+
 
 def _content_hash_column(t: pa.Table, text_col: str) -> pa.Array:
-    return pa.array(
-        [hashlib.blake2b((s or "").encode(), digest_size=16).hexdigest() for s in t[text_col].to_pylist()],
-        type=pa.string(),
-    )
+    """128-bit stable content hash as hex (two independent 64-bit passes)."""
+    col = t[text_col]
+    lo = u64_to_hex_strings(hash_strings(col, seed=0))
+    hi = u64_to_hex_strings(hash_strings(col, seed=0x5EED))
+    return pa.array(np.char.add(lo, hi))
 
 
 # ---------------------------------------------------------------------------
@@ -65,10 +81,53 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 # ---------------------------------------------------------------------------
+# shingle hashing (batched, all modes)
+# ---------------------------------------------------------------------------
+def shingle_hashes_batch(col, shingle: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat 64-bit shingle hashes + per-row counts for a batch of texts.
+
+    Modes: ``char4`` (char q-grams, fully buffer-level), ``word`` (whitespace
+    tokens), ``wordN`` (N-token grams; rows with < N tokens fall back to
+    single-token shingles — reference ``[...] or toks`` semantics).
+    """
+    if shingle.startswith("char"):
+        q = int(shingle[4:]) if len(shingle) > 4 else 4
+        return qgram_hashes_batch(col, q)
+    n_rows = len(col)
+    s = pd.Series(
+        pc.fill_null(col, "").to_pandas() if hasattr(col, "to_pandas") else col, copy=False
+    )
+    toks = s.str.split().explode().dropna()
+    rows = toks.index.to_numpy(dtype=np.int64)
+    h = hash_strings(pa.array(toks.to_numpy(dtype=object), type=pa.string()))
+    counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    if shingle == "word":
+        return h, counts
+    n = int(shingle[4:])
+    # N-gram counts: len-n+1 if len ≥ n else len (single-token fallback)
+    g_counts = np.where(counts >= n, counts - n + 1, counts)
+    total = int(g_counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), g_counts
+    row_starts = np.cumsum(counts) - counts
+    g_first = np.repeat(row_starts[g_counts > 0], g_counts[g_counts > 0])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        (np.cumsum(g_counts) - g_counts)[g_counts > 0], g_counts[g_counts > 0]
+    )
+    starts = g_first + within
+    width = np.repeat(np.where(counts >= n, n, 1)[g_counts > 0], g_counts[g_counts > 0])
+    g = _splitmix64(h[starts])
+    for k in range(1, n):
+        mask = width > k
+        g[mask] = _splitmix64(g[mask] ^ (h[starts[mask] + k] + _GOLDEN))
+    return g, g_counts
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH near-dedup
 # ---------------------------------------------------------------------------
 class MinHashLSHKeys:
-    """Batch fn: text → (band_key, doc_id) rows.
+    """Batch fn: text → (band_key, doc_id) rows, fully vectorized.
 
     signature length = bands × rows_per_band; docs with shingle-Jaccard ≥ t
     collide in ≥1 band with probability 1-(1-t^r)^b."""
@@ -89,43 +148,61 @@ class MinHashLSHKeys:
         self.shingle = shingle
         self.hasher = MinHasher(n_perm=n_bands * rows_per_band, seed=seed)
 
-    def shingles(self, text: str) -> List[str]:
-        if self.shingle == "char4":
-            return char_qgrams(text, 4)
-        if self.shingle == "word":
-            return text.split()
-        if self.shingle.startswith("word"):
-            n = int(self.shingle[4:])
-            toks = text.split()
-            return [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))] or toks
-        raise ValueError(self.shingle)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_key, out_id = [], []
-        for did, text in zip(ids, texts):
-            sig = self.hasher.signature(stable_token_hashes(self.shingles(text or "")))
-            for b in range(self.n_bands):
-                chunk = sig[b * self.r : (b + 1) * self.r]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_key.append(f"b{b}:{h}")
-                out_id.append(did)
-        return pa.table({"band_key": pa.array(out_key, type=pa.string()), "doc_id": pa.array(out_id)})
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], type=pa.string()), "doc_id": batch[self.id_col]})
+        gh, counts = shingle_hashes_batch(batch[self.text_col], self.shingle)
+        sigs = minhash_signatures_batch(gh, counts, self.hasher.a, self.hasher.b)
+        bands = band_keys_batch(sigs, self.n_bands, self.r)
+        hexes = u64_to_hex_strings(bands.ravel()).reshape(n, self.n_bands)
+        prefixes = np.array([f"b{b}:" for b in range(self.n_bands)], dtype="U4")
+        keys = np.char.add(np.broadcast_to(prefixes, (n, self.n_bands)), hexes).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.n_bands))
+        return pa.table({"band_key": pa.array(keys), "doc_id": pc.take(batch[self.id_col], idx)})
 
 
 def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset:
-    """band groups → canonical candidate pairs (deduped)."""
+    """band groups → canonical candidate pairs (deduped).
+
+    Oversized band groups are hash-salted into ceil(g/max_group_size)
+    sub-groups (same policy as blocking.PairEmitter) — cross-salt pairs are
+    DROPPED with the count logged, never silently truncated."""
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         dtype = g["doc_id"].dtype  # keep id dtype stable so empty groups don't
-        ids = sorted(set(g["doc_id"].tolist()))[:max_group_size]  # poison the shuffle
-        if len(ids) < 2:
+        ids = np.array(sorted(set(g["doc_id"].tolist())), dtype=object)  # poison the shuffle
+        m = len(ids)
+        if m < 2:
             return pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)})
-        ii, jj = np.triu_indices(len(ids), 1)
-        arr = np.array(ids, dtype=object)
+        if m > max_group_size:
+            from .blocking import _salts_of
+
+            n_sub = -(-m // max_group_size)
+            salts = _salts_of(ids, n_sub)
+            dropped = m * (m - 1) // 2
+            parts_ii, parts_jj = [], []
+            for s in range(n_sub):
+                members = np.nonzero(salts == s)[0]
+                k = len(members)
+                if k < 2:
+                    continue
+                ti, tj = np.triu_indices(k, 1)
+                parts_ii.append(members[ti])
+                parts_jj.append(members[tj])
+                dropped -= k * (k - 1) // 2
+            logger.info(
+                "lsh: hot band %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
+                g["band_key"].iloc[0] if "band_key" in g else "?", m, n_sub, dropped,
+            )
+            if not parts_ii:
+                return pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)})
+            ii = np.concatenate(parts_ii)
+            jj = np.concatenate(parts_jj)
+        else:
+            ii, jj = np.triu_indices(m, 1)
         return pd.DataFrame(
-            {"id_left": pd.Series(arr[ii], dtype=dtype), "id_right": pd.Series(arr[jj], dtype=dtype)}
+            {"id_left": pd.Series(ids[ii], dtype=dtype), "id_right": pd.Series(ids[jj], dtype=dtype)}
         )
 
     from .blocking import bucketed_apply, bucketed_group_apply
@@ -163,34 +240,33 @@ def minhash_lsh_candidates(
 
 
 class JaccardVerify:
-    """Batch fn over candidate pairs with src_text/cand_text → + jaccard; used
-    by MinHash-LSH and n-gram dedup verify stages."""
+    """Batch fn over candidate pairs with src_text/cand_text → + jaccard.
+
+    Exact shingle-Jaccard via SORTED HASHES (vectorized): both sides'
+    shingle-hash multisets are uniqued per row and intersected with
+    np.intersect1d — no Python set per pair. Hash collisions (2^-64) are the
+    only divergence from string-set Jaccard."""
 
     def __init__(self, shingle: str = "char4"):
         self.shingle = shingle
 
-    def _set(self, text: str):
-        if self.shingle == "char4":
-            return set(char_qgrams(text or "", 4))
-        if self.shingle == "word":
-            return set((text or "").split())
-        n = int(self.shingle[4:])
-        toks = (text or "").split()
-        return set(" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))) or set(toks)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["src_text"].to_pylist()
-        b = batch["cand_text"].to_pylist()
-        out = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa, sb = self._set(a[i]), self._set(b[i])
-            if not sa and not sb:
+        n = batch.num_rows
+        ha, ca = shingle_hashes_batch(batch["src_text"], self.shingle)
+        hb, cb = shingle_hashes_batch(batch["cand_text"], self.shingle)
+        oa = np.cumsum(ca) - ca
+        ob = np.cumsum(cb) - cb
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = np.unique(ha[oa[i] : oa[i] + ca[i]])
+            sb = np.unique(hb[ob[i] : ob[i] + cb[i]])
+            if sa.size == 0 and sb.size == 0:
                 out[i] = 1.0
-            elif not sa or not sb:
+            elif sa.size == 0 or sb.size == 0:
                 out[i] = 0.0
             else:
-                inter = len(sa & sb)
-                out[i] = inter / (len(sa) + len(sb) - inter)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                out[i] = inter / (sa.size + sb.size - inter)
         return batch.append_column("jaccard", pa.array(out, type=pa.float64()))
 
 
@@ -202,17 +278,17 @@ def near_dup_clusters(
     threshold: float = 0.8,
     shingle: str = "char4",
     num_partitions: int = 8,
+    attach_mode: str = "broadcast",
 ) -> Dataset:
     """Verify candidates by exact shingle-Jaccard ≥ threshold, close
     transitively, and emit (doc_id, dup_group, group_size); dup_group = min
-    doc id of the near-dup cluster."""
-    import pyarrow.compute as pc
-
+    doc id of the near-dup cluster. ``attach_mode="join"`` is the
+    beyond-object-store path (distributed join instead of broadcast)."""
     from .joins import attach_doc_columns
 
     docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
     with_texts = attach_doc_columns(
-        candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode="broadcast"
+        candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode
     )
     verified = with_texts.map_batches(
         JaccardVerify, fn_constructor_kwargs={"shingle": shingle},
@@ -270,44 +346,61 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+def simhash_batch(token_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(n_rows,) uint64 SimHash from a flat token-hash layout (vectorized).
+
+    Bit b of the output is set iff more than half the row's token hashes have
+    bit b set (ties → unset, matching sign(v)>0 of the classic ±1 sum).
+    Zero-token rows → 0."""
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    if token_hashes.size == 0:
+        return out
+    bits = np.unpackbits(token_hashes.view(np.uint8), bitorder="little").reshape(-1, 64)
+    nz = counts > 0
+    starts = (np.cumsum(counts) - counts)[nz]
+    sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)  # (n_nz, 64)
+    set_bits = (2 * sums) > counts[nz][:, None]
+    packed = np.packbits(set_bits.astype(np.uint8), axis=1, bitorder="little")
+    out[nz] = np.ascontiguousarray(packed).view(np.uint64).ravel()
+    return out
+
+
 def simhash64(tokens: List[str]) -> np.uint64:
     """Classic 64-bit SimHash over token hashes (unweighted)."""
-    if not tokens:
-        return np.uint64(0)
-    hs = stable_token_hashes(tokens)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for b in range(64):
-        if v[b] > 0:
-            out |= np.uint64(1) << np.uint64(b)
-    return out
+    hs = stable_token_hashes(list(tokens))
+    return simhash_batch(hs, np.array([len(tokens)], dtype=np.int64))[0]
 
 
 class SimHashKeys:
     """Batch fn: text → simhash + 4×16-bit band keys (detects Hamming ≤ 3 by
-    pigeonhole: at least one band is identical)."""
+    pigeonhole: at least one band is identical). Vectorized."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_key, out_id, out_sig = [], [], []
-        for did, text in zip(ids, texts):
-            sig = simhash64((text or "").split())
-            for b in range(4):
-                chunk = (int(sig) >> (16 * b)) & 0xFFFF
-                out_key.append(f"s{b}:{chunk:04x}")
-                out_id.append(did)
-                out_sig.append(int(sig))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"band_key": pa.array([], type=pa.string()), "doc_id": batch[self.id_col],
+                 "simhash": pa.array([], type=pa.uint64())}
+            )
+        h, counts = shingle_hashes_batch(batch[self.text_col], "word")
+        sigs = simhash_batch(h, counts)  # (n,)
+        chunks = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            chunks[:, b] = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        hex4 = u64_to_hex_strings(chunks.ravel()).reshape(n, 4)
+        prefixes = np.array([f"s{b}:" for b in range(4)], dtype="U4")
+        keys = np.char.add(np.broadcast_to(prefixes, (n, 4)), hex4).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "band_key": pa.array(out_key, type=pa.string()),
-                "doc_id": pa.array(out_id),
-                "simhash": pa.array(out_sig, type=pa.uint64()),
+                "band_key": pa.array(keys),
+                "doc_id": pc.take(batch[self.id_col], idx),
+                "simhash": pa.array(np.repeat(sigs, 4)),
             }
         )
 
@@ -335,7 +428,9 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
         sigs = g["simhash"].to_numpy(dtype=np.uint64)
         ii, jj = np.triu_indices(n, 1)
         x = sigs[ii] ^ sigs[jj]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount via 8-bit lookup over the byte view
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"id_left": pd.Series(ids[ii][keep], dtype=dtype),
@@ -358,7 +453,9 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 class HyperplaneLSHKeys:
     """Random-hyperplane sign LSH over an embedding column: n_tables keys of
-    n_bits sign bits each."""
+    n_bits sign bits each. The (normalized) vector RIDES WITH each band row so
+    within-bucket verification needs no lookup table — write amplification is
+    n_tables × vector, traded for zero driver-side state at any scale."""
 
     def __init__(self, dim: int, vec_col: str = "embedding", id_col: str = "vec_id",
                  n_tables: int = 4, n_bits: int = 8, seed: int = 11):
@@ -368,17 +465,33 @@ class HyperplaneLSHKeys:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"band_key": pa.array([], type=pa.string()), "doc_id": batch[self.id_col],
+                 "vec": pa.array([], type=pa.list_(pa.float64()))}
+            )
         vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
-        out_key, out_id = [], []
-        if len(ids):
-            for t in range(self.planes.shape[0]):
-                signs = (vecs @ self.planes[t].T) > 0  # (n, n_bits)
-                words = np.packbits(signs, axis=1)
-                for i, did in enumerate(ids):
-                    out_key.append(f"h{t}:{words[i].tobytes().hex()}")
-                    out_id.append(did)
-        return pa.table({"band_key": pa.array(out_key, type=pa.string()), "doc_id": pa.array(out_id)})
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms[:, None]
+        n_tables = self.planes.shape[0]
+        out_key = []
+        for t in range(n_tables):
+            signs = (vecs @ self.planes[t].T) > 0  # (n, n_bits)
+            words = np.packbits(signs, axis=1)
+            hexes = np.array(["".join(f"{b:02x}" for b in w) for w in words], dtype="U64")
+            out_key.append(np.char.add(f"h{t}:", hexes))
+        keys = np.concatenate(out_key)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
+        vn_list = pa.array(list(vn), type=pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "band_key": pa.array(keys),
+                "doc_id": pc.take(batch[self.id_col], idx),
+                "vec": pc.take(vn_list, idx),
+            }
+        )
 
 
 def embedding_near_dup(
@@ -389,11 +502,13 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_tables: int = 4,
     n_bits: int = 8,
+    max_group_size: int = 2048,
 ) -> Dataset:
     """(id_left, id_right, cosine) pairs with cosine ≥ threshold found via
-    hyperplane LSH buckets (scale path: no all-pairs compute)."""
-    import ray
-
+    hyperplane LSH buckets. Verification happens INSIDE each band group using
+    the vectors co-located by the band shuffle — no whole-dataset driver
+    collect; oversized buckets are truncated to ``max_group_size`` sorted ids
+    with the dropped count logged."""
     keys = ds.map_batches(
         HyperplaneLSHKeys,
         fn_constructor_kwargs={"dim": dim, "vec_col": vec_col, "id_col": id_col,
@@ -402,29 +517,23 @@ def embedding_near_dup(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    # broadcast normalized vectors for within-bucket verification
-    tbl = pa.concat_tables(
-        list(ds.select_columns([id_col, vec_col]).iter_batches(batch_size=65536, batch_format="pyarrow"))
-    )
-    ids_all = tbl[id_col].to_pylist()
-    V = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0] = 1.0
-    V = V / norms[:, None]
-    lookup_ref = ray.put((dict(zip(ids_all, range(len(ids_all)))), V))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        idx_map, Vn = ray.get(lookup_ref)
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) > max_group_size:
+            logger.info(
+                "embedding lsh: bucket of %d truncated to %d", len(g), max_group_size
+            )
+            g = g.head(max_group_size)
+        if len(g) < 2:
             return pd.DataFrame({"id_left": pd.Series(dtype=np.int64), "id_right": pd.Series(dtype=np.int64),
                                  "cosine": pd.Series(dtype=np.float64)})
-        rows = np.array([idx_map[i] for i in ids])
-        sims = Vn[rows] @ Vn[rows].T
+        ids = g["doc_id"].to_numpy()
+        Vn = np.array(g["vec"].tolist(), dtype=np.float64)
+        sims = Vn @ Vn.T
         ii, jj = np.triu_indices(len(ids), 1)
         keep = sims[ii, jj] >= threshold
-        arr = np.array(ids)
-        return pd.DataFrame({"id_left": arr[ii][keep], "id_right": arr[jj][keep], "cosine": sims[ii, jj][keep]})
+        return pd.DataFrame({"id_left": ids[ii][keep], "id_right": ids[jj][keep], "cosine": sims[ii, jj][keep]})
 
     from .blocking import bucketed_apply, bucketed_group_apply
 

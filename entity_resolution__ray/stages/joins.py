@@ -16,7 +16,6 @@ Two modes:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, List, Sequence, Tuple
 
 import pandas as pd
@@ -24,6 +23,8 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
+
+from ..functions.hashing import bucket_ids
 
 
 # ---------------------------------------------------------------------------
@@ -38,17 +39,7 @@ from ray.data import Dataset
 # exact same shuffle movement, no empty-partition failure mode, and explicit
 # control over bucket count (and bucket-level salting if a key is hot).
 def _bucket_column(t: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Array:
-    cols = [t[k].to_pylist() for k in keys]
-    return pa.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b("\x1f".join(map(str, row)).encode(), digest_size=4).digest(), "little"
-            )
-            % num_buckets
-            for row in zip(*cols)
-        ],
-        type=pa.int32(),
-    )
+    return bucket_ids(t, keys, num_buckets)
 
 
 def _arrow_schema(ds: Dataset) -> pa.Schema:

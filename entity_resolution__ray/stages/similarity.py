@@ -29,29 +29,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 class BatchTopK:
     """Batch fn: per-batch cosine top-k against the broadcast query matrix.
-    Emits (query_idx, vec_id, cosine) — at most Q×k rows per batch."""
+    Emits (query_idx, vec_id, cosine) — at most Q×k rows per batch. With
+    ``cell_col`` set, the candidate's IVF cell rides along so the merge can
+    apply per-query probe masks without any driver-side id→cell table."""
 
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str, cell_col: Optional[str] = None):
         self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        self.cell_col = cell_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
         V = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
         sims = self.Q @ V.T  # (Q, n)
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # order by (cosine DESC, vec_id ASC) BEFORE truncating so batch-local
+        # top-k keeps exactly the candidates the global tie-break would —
+        # argpartition alone drops an arbitrary subset of equal-cosine ties
+        id_rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
+        order = np.lexsort((np.broadcast_to(id_rank, sims.shape), -sims))
+        idx = order[:, :k]
         qi = np.repeat(np.arange(sims.shape[0]), k)
         vi = idx.ravel()
-        return pa.table(
-            {
-                "query_idx": pa.array(qi, type=pa.int64()),
-                "vec_id": pa.array(ids[vi]),
-                "cosine": pa.array(sims[qi, vi], type=pa.float64()),
-            }
-        )
+        cols = {
+            "query_idx": pa.array(qi, type=pa.int64()),
+            "vec_id": pa.array(ids[vi]),
+            "cosine": pa.array(sims[qi, vi], type=pa.float64()),
+        }
+        if self.cell_col is not None:
+            cols["cell"] = pa.array(np.asarray(batch[self.cell_col].to_pylist())[vi], type=pa.int32())
+        return pa.table(cols)
 
 
 def brute_force_topk(
@@ -180,23 +189,24 @@ def ivf_topk(
         zero_copy_batch=True,
     )
     # per-query cell masks applied at merge time: a (query, vec) pair counts
-    # only if the vec's cell is probed by that query
+    # only if the vec's cell is probed by that query. The cell rides with
+    # every partial top-k row — no driver-side id→cell table at any scale.
     qref = ray.put(Q)
     partial = sub.map_batches(
         BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col,
+                               "cell_col": "ivf_cell"},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    cell_of: dict = {}
-    for b in assigned.select_columns([id_col, "ivf_cell"]).iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cell_of.update(zip(b[id_col].to_pylist(), b["ivf_cell"].to_pylist()))
     probe_sets = [set(int(c) for c in row) for row in probe]
     heaps: dict[int, list] = {}
     for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for qi, vid, cos in zip(b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()):
-            if cell_of.get(vid) not in probe_sets[qi]:
+        for qi, vid, cos, cell in zip(
+            b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist(), b["cell"].to_pylist()
+        ):
+            if cell not in probe_sets[qi]:
                 continue
             h = heaps.setdefault(qi, [])
             item = (cos, _neg_id_key(vid), vid)

@@ -21,27 +21,50 @@ model inference, GPU stages).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Callable, Optional
 
 import ray
 
-_CACHE: dict = {}
+# Bounded LRU: keys are ObjectRef hexes, which change per pipeline run — an
+# unbounded dict would accumulate every run's decoded state (doc-bundle dicts,
+# attach maps, models) in long-lived workers until OOM. 4 slots covers the
+# distinct broadcast objects any one pipeline stage mix needs at a time.
+_MAX_ENTRIES = 4
+_CACHE: "OrderedDict[str, Any]" = OrderedDict()
+
+
+def _put(key: str, value: Any) -> None:
+    _CACHE[key] = value
+    _CACHE.move_to_end(key)
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
 
 
 def cached_get(ref, transform: Optional[Callable[[Any], Any]] = None, key_suffix: str = ""):
     """Resolve an ObjectRef once per worker process (optionally post-processing
     with ``transform``, also cached — e.g. bytes → unpickled dict)."""
-    key = (ref.hex() if hasattr(ref, "hex") else id(ref)) + key_suffix
+    key = (ref.hex() if hasattr(ref, "hex") else str(id(ref))) + key_suffix
     if key not in _CACHE:
         value = ray.get(ref)
         if transform is not None:
             value = transform(value)
-        _CACHE[key] = value
+        _put(key, value)
+    else:
+        _CACHE.move_to_end(key)
     return _CACHE[key]
 
 
 def cached_build(key: str, builder: Callable[[], Any]):
     """Build-once-per-worker for state derived from plain (picklable) args."""
     if key not in _CACHE:
-        _CACHE[key] = builder()
+        _put(key, builder())
+    else:
+        _CACHE.move_to_end(key)
     return _CACHE[key]
+
+
+def invalidate() -> None:
+    """Drop all cached per-worker state (call at pipeline start if reusing a
+    long-lived session with new broadcast objects)."""
+    _CACHE.clear()
