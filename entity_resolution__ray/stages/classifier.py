@@ -19,7 +19,7 @@ actor-pool ``map_batches`` (``ScorerActor``) holding the broadcast model.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -149,7 +149,11 @@ def fit_logreg(
 # ---------------------------------------------------------------------------
 @dataclass
 class TrainedMatcher:
-    """Picklable trained matcher (broadcast to ScorerActor pools)."""
+    """Picklable trained matcher (broadcast to ScorerActor pools).
+
+    ``gbt`` is set for the boosted-trees family (model_name="xgb" — the
+    reference's committed predictions are XGBoost, pairwise_classifier.py:268);
+    otherwise the linear coef/intercept path is used."""
 
     coef: np.ndarray
     intercept: float
@@ -157,9 +161,12 @@ class TrainedMatcher:
     feature_cols: List[str]
     best_threshold: float
     metrics: Dict
+    gbt: object = None
 
     def predict_proba_np(self, X: np.ndarray) -> np.ndarray:
         Xs = self.scaler.transform(np.nan_to_num(X.astype(np.float64), nan=0.0))
+        if self.gbt is not None:
+            return self.gbt.predict_proba(Xs)
         return _sigmoid(Xs @ self.coef + self.intercept)
 
     def predict_np(self, X: np.ndarray) -> np.ndarray:
@@ -183,9 +190,18 @@ def train_pairwise_matcher(
     feature_cols: List[str] = FEATURE_COLS,
     n_folds: int = 5,
     random_state: int = 42,
+    model_name: str = "logreg",
+    gbt_params: Optional[Dict] = None,
 ) -> TrainedMatcher:
     """The reference training protocol (pairwise_classifier.py:284-371):
-    stratified OOF probabilities → global OOF-F1 threshold → refit on all."""
+    stratified OOF probabilities → global OOF-F1 threshold → refit on all.
+
+    model_name: "logreg" (IRLS linear) or "xgb" (from-scratch histogram GBT
+    mirroring the reference's XGBClassifier config — functions/gbt.py).
+    ``gbt_params`` overrides HistGBT hyperparameters (e.g. fewer trees in
+    tests)."""
+    if model_name not in ("logreg", "xgb"):
+        raise ValueError(f"Unknown model: {model_name}. Choose from: logreg | xgb")
     X = np.nan_to_num(features.astype(np.float64), nan=0.0)
     y = labels.astype(np.float64)
 
@@ -197,6 +213,17 @@ def train_pairwise_matcher(
     w_neg = n / (2.0 * max(n_neg, 1.0))
     sample_weight = np.where(y == 1, w_pos, w_neg)
 
+    def _fit_fold(Xs, ys, ws):
+        if model_name == "xgb":
+            from ..functions.gbt import HistGBT
+
+            # scale_pos_weight = n_neg/n_pos (pairwise_classifier.py:133);
+            # sample weights already balanced, so pass weight via fit
+            m = HistGBT(random_state=random_state, **(gbt_params or {}))
+            m.fit(Xs, ys, sample_weight=ws)
+            return m
+        return fit_logreg(Xs, ys, ws)
+
     folds = _stratified_folds(y, n_folds, random_state)
     oof = np.zeros(n)
     fold_reports = []
@@ -204,8 +231,12 @@ def train_pairwise_matcher(
         tr = folds != f
         va = ~tr
         scaler = StandardScaler().fit(X[tr])
-        coef, b = fit_logreg(scaler.transform(X[tr]), y[tr], sample_weight[tr])
-        p_va = _sigmoid(scaler.transform(X[va]) @ coef + b)
+        fitted = _fit_fold(scaler.transform(X[tr]), y[tr], sample_weight[tr])
+        if model_name == "xgb":
+            p_va = fitted.predict_proba(scaler.transform(X[va]))
+        else:
+            coef, b = fitted
+            p_va = _sigmoid(scaler.transform(X[va]) @ coef + b)
         oof[va] = p_va
         thr, f1m = select_threshold_by_f1(y[va], p_va)
         fold_reports.append(
@@ -228,12 +259,23 @@ def train_pairwise_matcher(
         "oof_prec_at_best": f1m["precision"],
         "oof_rec_at_best": f1m["recall"],
         "pos_frac": float(y.mean()),
-        "model": "logreg",
+        "model": model_name,
         "features": list(feature_cols),
     }
 
     scaler = StandardScaler().fit(X)
-    coef, b = fit_logreg(scaler.transform(X), y, sample_weight)
+    fitted = _fit_fold(scaler.transform(X), y, sample_weight)
+    if model_name == "xgb":
+        return TrainedMatcher(
+            coef=np.zeros(X.shape[1]),
+            intercept=0.0,
+            scaler=scaler,
+            feature_cols=list(feature_cols),
+            best_threshold=best_thr,
+            metrics=metrics,
+            gbt=fitted,
+        )
+    coef, b = fitted
     return TrainedMatcher(
         coef=coef,
         intercept=b,
