@@ -150,14 +150,80 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1, boost_threshold: fl
     return j
 
 
+def _jaro_matrix(a_sub: Sequence[str], b_sub: Sequence[str]) -> np.ndarray:
+    """Vectorized Jaro over a batch of string pairs: strings become padded
+    UTF-32 codepoint matrices; the greedy window-match loop runs once per
+    CHARACTER POSITION with all pairs advanced simultaneously (boolean
+    matrix ops), instead of a Python loop per pair."""
+    n = len(a_sub)
+    la = np.fromiter((len(s) for s in a_sub), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_sub), dtype=np.int64, count=n)
+    L = int(max(la.max(initial=1), lb.max(initial=1), 1))
+    A = np.zeros((n, L), dtype=np.uint32)
+    B = np.zeros((n, L), dtype=np.uint32)
+    Araw = np.array(list(a_sub), dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    Braw = np.array(list(b_sub), dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    A[:], B[:] = Araw, Braw
+    if A.max(initial=0) < 255 and B.max(initial=0) < 255:
+        # ASCII fast path: 4× less memory traffic (the kernel is DRAM-bound
+        # under full-cluster parallelism); 0 stays the pad sentinel
+        A = A.astype(np.uint8)
+        B = B.astype(np.uint8)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(window.max(initial=0))
+    cols = np.arange(L, dtype=np.int64)
+    used = np.zeros((n, L), dtype=bool)
+    amatch = np.zeros((n, L), dtype=bool)
+    rowsel = np.arange(n)
+    for i in range(L):
+        active = i < la
+        if not active.any():
+            break
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window + 1, lb)
+        # only columns inside the widest window can match — slice to cut
+        # the per-iteration traffic roughly in half
+        c0 = max(0, i - wmax)
+        c1 = min(L, i + wmax + 1)
+        sl = slice(c0, c1)
+        cand = (B[:, sl] == A[:, i : i + 1]) & ~used[:, sl]
+        cand &= (cols[None, sl] >= lo[:, None]) & (cols[None, sl] < hi[:, None])
+        cand &= active[:, None]
+        first = cand.argmax(axis=1) + c0
+        has = cand[rowsel, first - c0]
+        used[has, first[has]] = True
+        amatch[has, i] = True
+    m = amatch.sum(axis=1).astype(np.float64)
+    # transpositions: compact matched chars of a (i-order) and b (j-order)
+    rank_a = np.cumsum(amatch, axis=1) - 1
+    rank_b = np.cumsum(used, axis=1) - 1
+    bufA = np.zeros((n, L), dtype=np.uint32)
+    bufB = np.zeros((n, L), dtype=np.uint32)
+    r, c = np.nonzero(amatch)
+    bufA[r, rank_a[r, c]] = A[r, c]
+    r, c = np.nonzero(used)
+    bufB[r, rank_b[r, c]] = B[r, c]
+    t = (((bufA != bufB) & (bufA != 0)).sum(axis=1) // 2).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (m / la + m / lb + (m - t) / np.maximum(m, 1.0)) / 3.0
+    j = np.where(m == 0, 0.0, j)
+    j = np.where((la == 0) & (lb == 0), 1.0, np.where((la == 0) | (lb == 0), 0.0, j))
+    # Winkler prefix boost (≤4 common leading chars, only when jaro > 0.7)
+    P = min(4, L)
+    eq = (A[:, :P] == B[:, :P]) & (A[:, :P] != 0)
+    prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    return np.where(j > 0.7, j + prefix * 0.1 * (1.0 - j), j)
+
+
 def jaro_winkler_batch(a_list: Sequence[str], b_list: Sequence[str]) -> np.ndarray:
     # equal strings short-circuit to 1.0 — near-dup pipelines score many
-    # identical pairs and JW is the costliest O(len²) kernel
-    return np.fromiter(
-        (1.0 if a == b else jaro_winkler(a, b) for a, b in zip(a_list, b_list)),
-        dtype=np.float64,
-        count=len(a_list),
-    )
+    # identical pairs and JW is the costliest kernel
+    n = len(a_list)
+    out = np.ones(n, dtype=np.float64)
+    neq = [i for i in range(n) if a_list[i] != b_list[i]]
+    if neq:
+        out[neq] = _jaro_matrix([a_list[i] for i in neq], [b_list[i] for i in neq])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -320,13 +386,78 @@ def rowwise_cosine_csr(
     """
     rows_a = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_a))
     rows_b = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_b))
-    key_a = rows_a * np.int64(n_cols) + indices_a.astype(np.int64)
-    key_b = rows_b * np.int64(n_cols) + indices_b.astype(np.int64)
-    common, ia, ib = np.intersect1d(key_a, key_b, assume_unique=True, return_indices=True)
+    key_a = rows_a * np.int64(n_cols) + indices_a.astype(np.int64, copy=False)
+    key_b = rows_b * np.int64(n_cols) + indices_b.astype(np.int64, copy=False)
+    # CSR rows are index-sorted (Vectorizer.transform sorts per row; gathers
+    # preserve it), so both key streams are globally sorted — intersect via
+    # binary search instead of intersect1d's two full sorts
     num = np.zeros(n_rows, dtype=np.float64)
-    np.add.at(num, (common // np.int64(n_cols)), data_a[ia] * data_b[ib])
+    if len(key_a) and len(key_b):
+        pos = np.searchsorted(key_b, key_a)
+        pos_c = np.minimum(pos, len(key_b) - 1)
+        hit = key_b[pos_c] == key_a
+        num = np.bincount(
+            rows_a[hit], weights=data_a[hit] * data_b[pos_c[hit]], minlength=n_rows
+        ).astype(np.float64)
     norm_a = np.sqrt(np.bincount(rows_a, weights=data_a * data_a, minlength=n_rows))
     norm_b = np.sqrt(np.bincount(rows_b, weights=data_b * data_b, minlength=n_rows))
     den = norm_a * norm_b
     den[den == 0.0] = 1.0
     return num / den
+
+
+def _crossside_matches(rows_a, keys_a, rows_b, keys_b):
+    """Positions where a (row, key) appears on BOTH sides. Each side's
+    (row, key) pairs must be unique. Returns (ia, ib) index arrays."""
+    rows_all = np.concatenate([rows_a, rows_b])
+    keys_all = np.concatenate([keys_a, keys_b])
+    order = np.lexsort((keys_all, rows_all))
+    r_s, k_s = rows_all[order], keys_all[order]
+    dup = np.zeros(len(order), dtype=bool)
+    dup[1:] = (r_s[1:] == r_s[:-1]) & (k_s[1:] == k_s[:-1])
+    second = order[dup]
+    first = order[np.roll(dup, -1)]
+    # one of (first, second) is from side a, the other from side b
+    na = len(rows_a)
+    a_pos = np.where(first < na, first, second)
+    b_pos = np.where(first < na, second, first) - na
+    return a_pos, b_pos
+
+
+def rowwise_cosine_hashed(
+    indptr_a: np.ndarray, keys_a: np.ndarray, data_a: np.ndarray,
+    indptr_b: np.ndarray, keys_b: np.ndarray, data_b: np.ndarray,
+    n_rows: int,
+) -> np.ndarray:
+    """cos(A[i], B[i]) where column ids are 64-bit HASHES (unbounded key
+    space — the (row·n_cols+col) packing of rowwise_cosine_csr would
+    overflow). Per-row keys must be unique; zero-norm denominators → 1.0."""
+    rows_a = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_a))
+    rows_b = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr_b))
+    ia, ib = _crossside_matches(rows_a, keys_a, rows_b, keys_b)
+    num = np.bincount(rows_a[ia], weights=data_a[ia] * data_b[ib], minlength=n_rows).astype(np.float64)
+    norm_a = np.sqrt(np.bincount(rows_a, weights=data_a * data_a, minlength=n_rows))
+    norm_b = np.sqrt(np.bincount(rows_b, weights=data_b * data_b, minlength=n_rows))
+    den = norm_a * norm_b
+    den[den == 0.0] = 1.0
+    return num / den
+
+
+def rowwise_jaccard_hashed(
+    indptr_a: np.ndarray, keys_a: np.ndarray,
+    indptr_b: np.ndarray, keys_b: np.ndarray,
+    n_rows: int,
+) -> np.ndarray:
+    """Set Jaccard per paired row over hashed element sets (per-row keys
+    unique); both-empty → 1.0, one-empty → 0.0 (strsim.jaccard semantics)."""
+    ca = np.diff(indptr_a)
+    cb = np.diff(indptr_b)
+    rows_a = np.repeat(np.arange(n_rows, dtype=np.int64), ca)
+    rows_b = np.repeat(np.arange(n_rows, dtype=np.int64), cb)
+    ia, _ = _crossside_matches(rows_a, keys_a, rows_b, keys_b)
+    inter = np.bincount(rows_a[ia], minlength=n_rows).astype(np.float64)
+    union = ca + cb - inter
+    return np.where(
+        (ca == 0) & (cb == 0), 1.0,
+        np.where((ca == 0) | (cb == 0), 0.0, inter / np.maximum(union, 1.0)),
+    )

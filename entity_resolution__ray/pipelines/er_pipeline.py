@@ -55,10 +55,9 @@ class ERConfig:
     # signal (or geo-free runs) can skip the countries attach + cohort CC
     run_cohort_transitivity: bool = True
     attach_mode: str = "broadcast"  # "join" at 10^12-doc scale
-    # "bundles": doc-side vectors/token state precomputed once per doc and
-    # broadcast; pair scoring is pure arithmetic (fast small-side path).
-    # "texts": attach raw texts to pairs and analyze per batch (large-side /
-    # conformance path).
+    # "bundles" (small-side default): texts attached by block-ref broadcast,
+    # batched kernel over unique texts. "texts": attach via cfg.attach_mode
+    # (set attach_mode="join" for the 10^12-doc path) then the same kernel.
     features_mode: str = "bundles"
     num_partitions: int = 16
     vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
@@ -128,6 +127,14 @@ def run_er_pipeline(
             return ds
         return checkpoint_stage(ds, workdir, name)
 
+    # Map-task parallelism follows BLOCK count; reads of small corpora (and
+    # groupby outputs) otherwise collapse every stage to 1-2 tasks. One cheap
+    # repartition up front sets the fan-out of normalize / key emission / the
+    # pair shuffle to the cluster width. (At 100 TB the read itself yields
+    # thousands of blocks and this is a near-no-op.)
+    compute_par = max(cfg.num_partitions, int(ray.cluster_resources().get("CPU", 8)))
+    docs = docs.repartition(compute_par)
+
     # 1. normalize (span flatten + tokens + countries); spans pass through
     # untouched. Always materialized: it feeds blocking keys, stopwords, the
     # vectorizer fit and both broadcast attaches.
@@ -147,7 +154,9 @@ def run_er_pipeline(
         stop_tokens=stop_tokens,
     )
     pairs = stage(
-        candidate_pairs(keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk),
+        candidate_pairs(
+            keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk
+        ).repartition(compute_par),
         "02_candidate_pairs",
     )
 

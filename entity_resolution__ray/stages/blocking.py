@@ -213,7 +213,9 @@ class PairEmitter:
         self.per_doc_topk = per_doc_topk
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop_duplicates("doc_id")
+        # sort so ranking tie-breaks (rank method="first" below) are
+        # independent of upstream partitioning / row arrival order
+        group = group.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
         g = len(group)
         empty = pd.DataFrame(
             {"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object),

@@ -122,29 +122,6 @@ def fit_pair_vectorizers(
 # ---------------------------------------------------------------------------
 # text attachment (J1)
 # ---------------------------------------------------------------------------
-def broadcast_id_text(norm_docs: Dataset) -> "ray.ObjectRef":
-    """Materialize (doc_id, norm_text) and ``ray.put`` it once; actors read it
-    zero-copy from the object store. Small-side path only."""
-    tbl = pa.concat_tables(
-        list(norm_docs.select_columns(["doc_id", "norm_text"]).iter_batches(batch_size=65536, batch_format="pyarrow"))
-    )
-    return ray.put(tbl)
-
-
-class AttachTexts:
-    """Actor batch fn: add src_text/cand_text from the broadcast id→text table."""
-
-    def __init__(self, id_text_ref):
-        tbl = ray.get(id_text_ref)
-        self.lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["norm_text"].to_pylist()))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lk = self.lookup
-        src = pa.array([lk.get(d, "") for d in batch["id_left"].to_pylist()], type=pa.string())
-        cand = pa.array([lk.get(d, "") for d in batch["id_right"].to_pylist()], type=pa.string())
-        return batch.append_column("src_text", src).append_column("cand_text", cand)
-
-
 def attach_texts(
     pairs: Dataset,
     norm_docs: Dataset,
@@ -153,19 +130,31 @@ def attach_texts(
 ) -> Dataset:
     """pairs(id_left,id_right,…) + docs(doc_id,norm_text) → + src_text, cand_text.
 
-    mode="broadcast": ray.put the id→text table once, hash-lookup per batch
-    (no shuffle; right-sized when the doc projection fits the object store).
-    mode="join": two distributed hash joins — the 10^12-doc path.
+    mode="broadcast": the (doc_id, norm_text) projection's Arrow BLOCKS are
+    broadcast as object refs — blocks move object-store → worker directly,
+    the driver never materializes the table; each worker process builds the
+    hash map once (worker cache). Right whenever the projection fits the
+    object store. mode="join": two distributed hash joins — the 10^12-doc path.
     """
     if mode == "broadcast":
-        ref = broadcast_id_text(norm_docs)
-        return pairs.map_batches(
-            AttachTexts,
-            fn_constructor_kwargs={"id_text_ref": ref},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=(1, 8),
-        )
+        refs = norm_docs.select_columns(["doc_id", "norm_text"]).to_arrow_refs()
+        key = refs[0].hex() if refs else "empty"
+
+        def attach(batch: pa.Table, refs=refs, key=key) -> pa.Table:
+            from ..state.worker_cache import cached_build
+
+            def build():
+                lk = {}
+                for t in ray.get(list(refs)):
+                    lk.update(zip(t["doc_id"].to_pylist(), t["norm_text"].to_pylist()))
+                return lk
+
+            lk = cached_build(f"id_text:{key}:{len(refs)}", build)
+            src = pa.array([lk.get(d, "") for d in batch["id_left"].to_pylist()], type=pa.string())
+            cand = pa.array([lk.get(d, "") for d in batch["id_right"].to_pylist()], type=pa.string())
+            return batch.append_column("src_text", src).append_column("cand_text", cand)
+
+        return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     from .joins import hash_join
 
     docs_l = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
@@ -181,13 +170,15 @@ def attach_texts(
 # ---------------------------------------------------------------------------
 # doc-side precomputation (each doc analyzed ONCE, not once per pair)
 # ---------------------------------------------------------------------------
-# A doc participates in ~k candidate pairs; analyzing its text per pair costs
-# k× the work. Instead a distributed map computes, per doc: the fitted
-# word/char TF-IDF rows, WORD_1PLUS token counts (for the scope-invariant
-# count cosine), the token set/list, metaphone(first token) and the truncated
-# string for the O(len²) kernels. Bundles are broadcast (ray.put) and the pair
-# stage becomes pure per-pair arithmetic. Semantics identical to the text path
-# (same fitted vectorizers, same kernels) — covered by the parity test.
+# A doc participates in ~k candidate pairs; re-analyzing its text per pair
+# costs k× the work (the word/char TF-IDF transforms dominate). The bundle
+# DATASET holds per-doc: fitted word/char TF-IDF CSR rows, hashed token
+# counts (count cosine is fit-scope invariant, and hashing tokens keeps the
+# key space flat), hashed split-token sets (jaccard), metaphone(first token)
+# and the truncated string for the O(len²) kernels. Bundles are broadcast as
+# Arrow BLOCK REFS (no driver materialization); each worker builds one
+# columnar store and the pair stage is pure vectorized arithmetic — no text
+# analysis and no per-pair Python in the pair path.
 
 _COUNT_TOKEN_RE = None
 
@@ -201,158 +192,156 @@ def _count_tokens(text: str):
     return _COUNT_TOKEN_RE.findall(text)
 
 
-class _BundleKernel:
-    """Per-doc bundle computation (used by the task-based build_doc_bundles)."""
+def _hashed_rows(token_lists: List[List[str]], with_counts: bool):
+    """Per-row token lists → (offsets int64, hashes int64[, counts float64])
+    with per-row unique keys (counts aggregated)."""
+    from ..functions.hashing import hash_token_list
 
-    def __init__(self, vw: Vectorizer, vc: Vectorizer, max_strlen: int = 128):
-        self.vw = vw
-        self.vc = vc
-        self.max_strlen = max_strlen
+    rows = np.repeat(np.arange(len(token_lists), dtype=np.int64),
+                     [len(t) for t in token_lists])
+    flat: List[str] = [t for lst in token_lists for t in lst]
+    h = hash_token_list(flat).view(np.int64)
+    order = np.lexsort((h, rows))
+    r_s, h_s = rows[order], h[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    ur, uh = r_s[first], h_s[first]
+    offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ur, minlength=len(token_lists)), out=offsets[1:])
+    if not with_counts:
+        return offsets, uh
+    grp = np.cumsum(first) - 1
+    counts = np.bincount(grp, minlength=len(ur)).astype(np.float64)
+    return offsets, uh, counts
 
-    def bundle(self, text: str) -> tuple:
-        from ..functions import strsim as _ss
 
-        iw, jw_, dw = self.vw.transform([text])
-        ic, jc, dc = self.vc.transform([text])
-        counts: Dict[str, int] = {}
-        toks = _count_tokens(text)
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-        cnorm = float(np.sqrt(sum(v * v for v in counts.values())))
-        tokens = text.split(" ") if text else []
-        first_mp = _ss.metaphone(tokens[0]) if tokens else None
-        return (
-            jw_.astype(np.int64), dw.astype(np.float64), float(np.sqrt((dw * dw).sum())),
-            jc.astype(np.int64), dc.astype(np.float64), float(np.sqrt((dc * dc).sum())),
-            counts, cnorm,
-            frozenset(tokens), first_mp, text[: self.max_strlen],
-        )
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pickle
-
-        ids = batch["doc_id"].to_pylist()
-        texts = [t or "" for t in batch["norm_text"].to_pylist()]
-        blobs = [pickle.dumps(self.bundle(t)) for t in texts]
-        return pa.table({"doc_id": pa.array(ids), "bundle": pa.array(blobs, type=pa.binary())})
+def _list_arr(offsets: np.ndarray, values: np.ndarray, typ) -> pa.Array:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()), pa.array(values, type=typ)
+    )
 
 
 def build_doc_bundles(
     norm_docs: Dataset, vec_word: Vectorizer, vec_char: Vectorizer, max_strlen: int = 128,
-) -> "ray.ObjectRef":
-    """Distributed doc-side analysis → broadcast {doc_id: pickled bundle}.
-    Runs as elastic tasks; the fitted vectorizers are fetched once per worker
-    process via the worker cache."""
+) -> List:
+    """Distributed doc-side analysis → list of Arrow block refs of the bundle
+    dataset (doc_id, CSR rows, hashed token sets, metaphone, truncated text)."""
     vw_ref = ray.put(vec_word)
     vc_ref = ray.put(vec_char)
 
     def build(batch: pa.Table, vw_ref=vw_ref, vc_ref=vc_ref, max_strlen=max_strlen) -> pa.Table:
-        from ..state.worker_cache import cached_build, cached_get
+        from ..functions import strsim as _ss
+        from ..state.worker_cache import cached_get
 
         vw = cached_get(vw_ref)
         vc = cached_get(vc_ref)
-        builder = cached_build(
-            f"doc_bundle_builder:{id(vw)}:{max_strlen}",
-            lambda: _BundleKernel(vw, vc, max_strlen),
-        )
-        import pickle
-
-        ids = batch["doc_id"].to_pylist()
         texts = [t or "" for t in batch["norm_text"].to_pylist()]
-        blobs = [pickle.dumps(builder.bundle(t)) for t in texts]
-        return pa.table({"doc_id": pa.array(ids), "bundle": pa.array(blobs, type=pa.binary())})
+        w_ptr, w_idx, w_val = vw.transform(texts)
+        c_ptr, c_idx, c_val = vc.transform(texts)
+        tc_off, tc_h, tc_c = _hashed_rows([_count_tokens(t) for t in texts], with_counts=True)
+        tj_off, tj_h = _hashed_rows([t.split(" ") if t else [] for t in texts], with_counts=False)
+        first_toks = [(t.split(" ")[0] if t else None) for t in texts]
+        mp = [(_ss.metaphone(ft) if ft is not None else "") for ft in first_toks]
+        has_tok = [ft is not None for ft in first_toks]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "w_idx": _list_arr(w_ptr, w_idx, pa.int64()),
+                "w_val": _list_arr(w_ptr, w_val, pa.float64()),
+                "c_idx": _list_arr(c_ptr, c_idx, pa.int64()),
+                "c_val": _list_arr(c_ptr, c_val, pa.float64()),
+                "tc_h": _list_arr(tc_off, tc_h, pa.int64()),
+                "tc_c": _list_arr(tc_off, tc_c, pa.float64()),
+                "tj_h": _list_arr(tj_off, tj_h, pa.int64()),
+                "mp": pa.array(mp, type=pa.string()),
+                "has_tok": pa.array(has_tok, type=pa.bool_()),
+                "txt": pa.array([t[:max_strlen] for t in texts], type=pa.string()),
+            }
+        )
 
-    bundles = norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
-        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=512
+    ds = norm_docs.select_columns(["doc_id", "norm_text"]).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
     )
-    lookup: Dict = {}
-    for b in bundles.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        lookup.update(zip(b["doc_id"].to_pylist(), b["bundle"].to_pylist()))
-    return ray.put(lookup)
+    return ds.to_arrow_refs()
 
 
-def _sparse_dot(ia, va, ib, vb) -> float:
-    common, xa, xb = np.intersect1d(ia, ib, assume_unique=True, return_indices=True)
-    if len(common) == 0:
-        return 0.0
-    return float(va[xa] @ vb[xb])
+class _BundleStore:
+    """Per-worker columnar bundle store (built once per worker from block
+    refs). Row n_docs is a synthetic EMPTY row for unknown doc ids."""
+
+    def __init__(self, tables: List[pa.Table]):
+        t = pa.concat_tables(tables) if tables else None
+        n = t.num_rows if t is not None else 0
+        self.row_of = {}
+        if n:
+            self.row_of = {d: i for i, d in enumerate(t["doc_id"].to_pylist())}
+
+        def csr(idx_col, val_col=None):
+            if n == 0:
+                ptr = np.zeros(2, dtype=np.int64)
+                return (ptr, np.empty(0, np.int64)) if val_col is None else (
+                    ptr, np.empty(0, np.int64), np.empty(0, np.float64))
+            la = t[idx_col].combine_chunks()
+            ptr = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ptr = np.append(ptr, ptr[-1])  # empty sentinel row
+            idx = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            if val_col is None:
+                return ptr, idx
+            vals = t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64)
+            return ptr, idx, vals
+
+        self.w = csr("w_idx", "w_val")
+        self.c = csr("c_idx", "c_val")
+        self.tc = csr("tc_h", "tc_c")
+        self.tj = csr("tj_h")
+        self.mp = np.array((t["mp"].to_pylist() if n else []) + [""], dtype=object)
+        self.has_tok = np.array((t["has_tok"].to_pylist() if n else []) + [False], dtype=bool)
+        self.txt = np.array((t["txt"].to_pylist() if n else []) + [""], dtype=object)
+        self.empty_row = n
+
+    def rows_for(self, ids) -> np.ndarray:
+        er = self.empty_row
+        ro = self.row_of
+        return np.fromiter((ro.get(d, er) for d in ids), dtype=np.int64, count=len(ids))
 
 
-class PairFeaturesFromBundles:
-    """Actor batch fn: (id_left, id_right, …) → + 8 feature columns, using
-    broadcast doc bundles. The per-pair work is sparse dots + the truncated
-    O(len²) string kernels — no text analysis in the pair path at all."""
-
-    def __init__(self, bundles_ref):
-        import pickle
-
-        raw = ray.get(bundles_ref)
-        self.docs = {k: pickle.loads(v) for k, v in raw.items()}
-        self.empty = None
-
-    def __init_from_dict__(self, decoded: Dict) -> "PairFeaturesFromBundles":
-        self.docs = decoded
-        self.empty = None
-        return self
-
-    def _get(self, doc_id):
-        b = self.docs.get(doc_id)
-        if b is None:
-            if self.empty is None:
-                import pickle
-
-                z = np.empty(0, dtype=np.int64)
-                zf = np.empty(0, dtype=np.float64)
-                self.empty = (z, zf, 0.0, z, zf, 0.0, {}, 0.0, frozenset(), None, "")
-            return self.empty
-        return b
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions import strsim as _ss
-
-        lefts = batch["id_left"].to_pylist()
-        rights = batch["id_right"].to_pylist()
-        n = len(lefts)
-        out = {c: np.empty(n, dtype=np.float64) for c in FEATURE_COLS}
-        for i in range(n):
-            a = self._get(lefts[i])
-            b = self._get(rights[i])
-            aw_i, aw_v, aw_n, ac_i, ac_v, ac_n, a_cnt, a_cn, a_set, a_mp, a_txt = a
-            bw_i, bw_v, bw_n, bc_i, bc_v, bc_n, b_cnt, b_cn, b_set, b_mp, b_txt = b
-            # tfidf cosines (zero-norm denominator forced to 1.0 → 0.0 score)
-            dw = _sparse_dot(aw_i, aw_v, bw_i, bw_v)
-            out["tfidf_word_cosine"][i] = dw / (aw_n * bw_n) if aw_n and bw_n else 0.0
-            dc = _sparse_dot(ac_i, ac_v, bc_i, bc_v)
-            out["tfidf_char_cosine"][i] = dc / (ac_n * bc_n) if ac_n and bc_n else 0.0
-            # count cosine from token-count dicts (scope-invariant)
-            if a_cn and b_cn:
-                small, big = (a_cnt, b_cnt) if len(a_cnt) <= len(b_cnt) else (b_cnt, a_cnt)
-                num = 0.0
-                for t, v in small.items():
-                    w = big.get(t)
-                    if w:
-                        num += v * w
-                out["token_cosine"][i] = num / (a_cn * b_cn)
-            else:
-                out["token_cosine"][i] = 0.0
-            out["token_jaccard"][i] = _ss.jaccard(a_set, b_set)
-            out["dmetaphone_match"][i] = (
-                0.0 if (a_mp is None or b_mp is None) else float(a_mp == b_mp)
-            )
-            if a_txt == b_txt:
-                out["jaro_winkler"][i] = 1.0
-                out["lcs_ratio"][i] = 1.0
-                out["edit_ratio"][i] = 1.0
-            else:
-                out["jaro_winkler"][i] = _ss.jaro_winkler(a_txt, b_txt)
-                l = _ss.lcs_len(a_txt, b_txt)
-                mx = max(len(a_txt), len(b_txt))
-                tot = len(a_txt) + len(b_txt)
-                out["lcs_ratio"][i] = (l / mx) if mx else 1.0
-                out["edit_ratio"][i] = (2.0 * l / tot) if tot else 1.0
-        for c in FEATURE_COLS:
-            batch = batch.append_column(c, pa.array(out[c], type=pa.float64()))
-        return batch
+def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
+    rl = store.rows_for(batch["id_left"].to_pylist())
+    rr = store.rows_for(batch["id_right"].to_pylist())
+    n = len(rl)
+    out: Dict[str, np.ndarray] = {}
+    wn = max(1, int(max(store.w[1].max(initial=0) + 1, 1)))
+    out["tfidf_word_cosine"] = strsim.rowwise_cosine_csr(
+        *_csr_take(*store.w, rl), *_csr_take(*store.w, rr), n, wn
+    )
+    cn = max(1, int(max(store.c[1].max(initial=0) + 1, 1)))
+    out["tfidf_char_cosine"] = strsim.rowwise_cosine_csr(
+        *_csr_take(*store.c, rl), *_csr_take(*store.c, rr), n, cn
+    )
+    out["token_cosine"] = strsim.rowwise_cosine_hashed(
+        *_csr_take(*store.tc, rl), *_csr_take(*store.tc, rr), n
+    )
+    ja_ptr, ja_keys, _ = _csr_take(store.tj[0], store.tj[1], store.tj[1].astype(np.float64), rl)
+    jb_ptr, jb_keys, _ = _csr_take(store.tj[0], store.tj[1], store.tj[1].astype(np.float64), rr)
+    out["token_jaccard"] = strsim.rowwise_jaccard_hashed(ja_ptr, ja_keys, jb_ptr, jb_keys, n)
+    out["dmetaphone_match"] = np.where(
+        store.has_tok[rl] & store.has_tok[rr], (store.mp[rl] == store.mp[rr]).astype(np.float64), 0.0
+    )
+    # O(len²) kernels on unique (src_row, cand_row) combos only
+    combo = rl * np.int64(store.empty_row + 1) + rr
+    uniq, inverse = np.unique(combo, return_inverse=True)
+    u_l = (uniq // np.int64(store.empty_row + 1)).astype(np.int64)
+    u_r = (uniq % np.int64(store.empty_row + 1)).astype(np.int64)
+    src_t = store.txt[u_l].tolist()
+    cand_t = store.txt[u_r].tolist()
+    lcs_u, edit_u = strsim.lcs_and_edit_batch(src_t, cand_t)
+    jw_u = strsim.jaro_winkler_batch(src_t, cand_t)
+    out["lcs_ratio"] = lcs_u[inverse]
+    out["edit_ratio"] = edit_u[inverse]
+    out["jaro_winkler"] = jw_u[inverse]
+    for c in FEATURE_COLS:
+        batch = batch.append_column(c, pa.array(out[c], type=pa.float64()))
+    return batch
 
 
 def pair_features_broadcast(
@@ -360,29 +349,28 @@ def pair_features_broadcast(
     norm_docs: Dataset,
     vec_word: Vectorizer,
     vec_char: Vectorizer,
-    batch_size: int = 8192,
+    # ~512 pairs × ~2k gathered nonzeros/pair keeps every kernel buffer in
+    # the tens-of-MB range, where the allocator reuses arenas — large
+    # batches page-fault 100MB+ temporaries per numpy op and run ~7× slower
+    # under full-cluster parallelism (measured)
+    batch_size: int = 512,
     concurrency=None,
     max_strlen: int = 128,
 ) -> Dataset:
     """Feature scoring with broadcast doc-side bundles: doc analysis runs once
-    per DOC (distributed), pair scoring is pure arithmetic. Small-side path —
-    the bundles dict must fit the object store (use the text-attach ``join``
-    path + :func:`pair_features` beyond that). Task-based: the decoded bundle
-    dict is built once per worker process."""
-    bundles_ref = build_doc_bundles(norm_docs, vec_word, vec_char, max_strlen=max_strlen)
+    per DOC (distributed tasks), bundle blocks are broadcast as refs, and the
+    pair stage is pure vectorized arithmetic. Small-side path — the bundle
+    store must fit worker heap (use attach_texts(mode="join") +
+    :func:`pair_features` beyond that). Semantics identical to the text path
+    (same fitted vectorizers, same kernels) — covered by the parity test."""
+    refs = build_doc_bundles(norm_docs, vec_word, vec_char, max_strlen=max_strlen)
+    key = refs[0].hex() if refs else "empty"
 
-    def score(batch: pa.Table, bundles_ref=bundles_ref) -> pa.Table:
-        from ..state.worker_cache import cached_get
+    def score(batch: pa.Table, refs=refs, key=key) -> pa.Table:
+        from ..state.worker_cache import cached_build
 
-        def decode(raw):
-            import pickle
-
-            return PairFeaturesFromBundles.__new__(PairFeaturesFromBundles).__init_from_dict__(
-                {k: pickle.loads(v) for k, v in raw.items()}
-            )
-
-        kernel = cached_get(bundles_ref, transform=decode, key_suffix=":decoded")
-        return kernel(batch)
+        store = cached_build(f"bundles:{key}:{len(refs)}", lambda: _BundleStore(ray.get(list(refs))))
+        return _features_from_store(batch, store)
 
     return pairs.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
@@ -468,8 +456,8 @@ def compute_pair_features(
 
 
 class FeatureActor:
-    """Actor-pool batch fn: pairs with src_text/cand_text → + 8 feature columns.
-    Fitted vectorizers are read from the object store once per actor."""
+    """Batch fn: pairs with src_text/cand_text → + 8 feature columns.
+    Fitted vectorizers are read from the object store once per actor/worker."""
 
     def __init__(self, vec_word_ref, vec_char_ref, max_strlen: int = 128):
         self.vec_word: Vectorizer = ray.get(vec_word_ref)
@@ -493,22 +481,37 @@ def pair_features(
     concurrency=None,
     max_strlen: int = 128,
 ) -> Dataset:
-    """Score candidate pairs with the 8-feature kernel (actor pool).
+    """Score candidate pairs with the 8-feature kernel.
 
-    Default pool size = 75% of cluster CPUs (the feature kernel is the
-    pipeline's dominant compute; the remaining CPUs keep the read/shuffle
-    stages fed) — sized per cluster so throughput scales with cluster size."""
-    if concurrency is None:
-        total_cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(4, (total_cpus * 3) // 4))
+    Default: elastic tasks — the fitted vectorizers are fetched from the
+    object store once per worker process (worker cache), so the stage uses
+    every free CPU without pool sizing. Pass ``concurrency`` to force a
+    bounded actor pool instead (memory-capped environments)."""
     vec_word_ref = ray.put(vec_word)
     vec_char_ref = ray.put(vec_char)
+    if concurrency is not None:
+        return pairs_with_texts.map_batches(
+            FeatureActor,
+            fn_constructor_kwargs={"vec_word_ref": vec_word_ref, "vec_char_ref": vec_char_ref,
+                                   "max_strlen": max_strlen},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def score(batch: pa.Table, vw_ref=vec_word_ref, vc_ref=vec_char_ref, max_strlen=max_strlen) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        vw = cached_get(vw_ref)
+        vc = cached_get(vc_ref)
+        src = [t or "" for t in batch["src_text"].to_pylist()]
+        cand = [t or "" for t in batch["cand_text"].to_pylist()]
+        feats = compute_pair_features(src, cand, vw, vc, max_strlen=max_strlen)
+        for col in FEATURE_COLS:
+            batch = batch.append_column(col, pa.array(feats[col], type=pa.float64()))
+        return batch
+
     return pairs_with_texts.map_batches(
-        FeatureActor,
-        fn_constructor_kwargs={"vec_word_ref": vec_word_ref, "vec_char_ref": vec_char_ref,
-                               "max_strlen": max_strlen},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )

@@ -183,23 +183,25 @@ def attach_doc_columns(
     """
     proj = norm_docs.select_columns(["doc_id"] + list(columns))
     if mode == "broadcast":
-        tbl = pa.concat_tables(list(proj.iter_batches(batch_size=65536, batch_format="pyarrow")))
-        ref = ray.put(tbl)
+        # broadcast the projection's Arrow BLOCKS as refs — blocks move
+        # object-store → worker directly; the driver never holds the table
+        refs = proj.to_arrow_refs()
+        key = refs[0].hex() if refs else "empty"
 
-        def attach(batch: pa.Table, ref=ref, columns=columns) -> pa.Table:
-            from ..state.worker_cache import cached_get
+        def attach(batch: pa.Table, refs=refs, key=key, columns=columns) -> pa.Table:
+            from ..state.worker_cache import cached_build
 
-            # the lookup maps are built once per worker process
             cols_key = ",".join(sorted(columns))
-            maps = cached_get(
-                ref,
-                transform=lambda t: [
-                    (dict(zip(t["doc_id"].to_pylist(), t[src].to_pylist())), names[0], names[1],
-                     t.schema.field(src).type)
+
+            def build():
+                tbl = pa.concat_tables(ray.get(list(refs))) if refs else pa.table({"doc_id": []})
+                return [
+                    (dict(zip(tbl["doc_id"].to_pylist(), tbl[src].to_pylist())), names[0], names[1],
+                     tbl.schema.field(src).type)
                     for src, names in columns.items()
-                ],
-                key_suffix=f":attach:{cols_key}",
-            )
+                ]
+
+            maps = cached_build(f"attach:{key}:{len(refs)}:{cols_key}", build)
             lefts = batch["id_left"].to_pylist()
             rights = batch["id_right"].to_pylist()
             for lk, left_name, right_name, typ in maps:

@@ -103,10 +103,11 @@ def test_pair_features_dataset_stage(ray_session):
         assert -1e-9 <= out[col].iloc[0] <= 1.0 + 1e-9
 
 
-def test_bundle_path_matches_text_path(ray_session):
-    """pair_features_broadcast (doc bundles) must produce the same 8 features
-    as the attach-texts path on identical pairs."""
-    import pandas as pd
+def test_broadcast_attach_matches_join_attach(ray_session):
+    """pair_features must produce identical features whether texts are
+    attached by block-ref broadcast (small side) or by distributed hash join
+    (the 10^12-doc path)."""
+    import numpy as np
 
     from entity_resolution__ray.stages.features import pair_features_broadcast
 
@@ -119,17 +120,15 @@ def test_bundle_path_matches_text_path(ray_session):
         [{"id_left": ids[i], "id_right": ids[i + 1]} for i in range(0, 40, 2)],
         override_num_blocks=2,
     )
-    via_text = (
-        pair_features(attach_texts(pairs, norm, mode="broadcast"), vw, vc)
+    via_join = (
+        pair_features(attach_texts(pairs, norm, mode="join", num_partitions=4), vw, vc)
         .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
     )
-    via_bundles = (
+    via_broadcast = (
         pair_features_broadcast(pairs, norm, vw, vc)
         .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
     )
     for col in FEATURE_COLS:
-        import numpy as np
-
         np.testing.assert_allclose(
-            via_bundles[col].to_numpy(), via_text[col].to_numpy(), atol=1e-9, err_msg=col
+            via_broadcast[col].to_numpy(), via_join[col].to_numpy(), atol=1e-9, err_msg=col
         )
