@@ -170,31 +170,48 @@ def _q_token_df(sf_dir: str):
 
 
 def _q_revenue_by_nation(sf_dir: str):
+    """Fact-table scan + BROADCAST dimension join (customer⋈nation is tiny and
+    built once, shipped by ray.put) + per-batch partial aggregation — the
+    star-schema join shape that avoids any all-to-all on the fact table. The
+    final groupby moves only (nations × blocks) partial rows.
+
+    o_totalprice is 2-decimal currency: summed as exact integer cents so the
+    result is independent of partitioning/summation order."""
+    import ray
     from ray.data.aggregate import Count, Sum
 
-    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    # o_totalprice is 2-decimal currency: sum exact integer cents so the
-    # result is independent of partitioning/summation order (float sums
-    # flip last digits when the shuffle layout changes)
-    orders = orders.map_batches(
-        lambda t: pa.table(
-            {
-                "o_custkey": t["o_custkey"],
-                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    cust = pa.concat_tables(
+        list(_t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
     )
-    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).rename_columns(
-        {"c_custkey": "o_custkey"}
+    nation = pa.concat_tables(
+        list(_t(sf_dir, "nation", columns=["n_nationkey", "n_name"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
     )
-    nation = _t(sf_dir, "nation", columns=["n_nationkey", "n_name"]).rename_columns(
-        {"n_nationkey": "c_nationkey"}
+    nname = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        c: nname[nk]
+        for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    dim_ref = ray.put(cust_to_nation)
+
+    def partial(t: pa.Table, dim_ref=dim_ref) -> pa.Table:
+        from entity_resolution__ray.state.worker_cache import cached_get
+
+        dim = cached_get(dim_ref)
+        import pandas as pd
+
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64()).to_numpy()
+        names = [dim.get(c) for c in t["o_custkey"].to_pylist()]
+        df = pd.DataFrame({"n_name": names, "cents": cents})
+        out = df.groupby("n_name", as_index=False).agg(cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    j = hash_join(orders, cust, on=["o_custkey"], num_partitions=8)
-    j = hash_join(j, nation, on=["c_nationkey"], num_partitions=8)
-    out = j.groupby("n_name").aggregate(
-        Sum("cents", alias_name="cents"), Count(alias_name="n_orders")
+    out = partials.groupby("n_name").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n_orders", alias_name="n_orders")
     )
     return out.map_batches(
         lambda t: pa.table(

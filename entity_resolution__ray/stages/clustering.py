@@ -89,21 +89,33 @@ def _encode_col(col) -> pa.Array:
     return pc.binary_join_element_wise(lens, col, _ORD_SEP)
 
 
-def _encode_edges(edges: Dataset) -> Dataset:
-    """Encode ids and symmetrize: (u,v) ∪ (v,u) — one directed-message join
-    per round then covers both directions."""
+def _encode_only(edges: Dataset) -> Dataset:
+    """Length-lex encode both endpoint columns."""
 
     def enc(t: pa.Table) -> pa.Table:
-        u = _encode_col(t["u"])
-        v = _encode_col(t["v"])
-        return pa.table(
-            {
-                "u": pa.concat_arrays([u, v]),
-                "v": pa.concat_arrays([v, u]),
-            }
-        )
+        return pa.table({"u": _encode_col(t["u"]), "v": _encode_col(t["v"])})
 
     return edges.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _symmetrize(edges: Dataset) -> Dataset:
+    """(u,v) ∪ (v,u) — one directed-message join per round then covers both
+    directions (iterative propagation only; contraction treats edges as
+    undirected already)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    return edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _encode_edges(edges: Dataset) -> Dataset:
+    """Encode ids and symmetrize (iterative-propagation input form)."""
+    return _symmetrize(_encode_only(edges))
 
 
 def _propagate_once(edges: Dataset, labels: Dataset, num_partitions: int) -> Dataset:
@@ -203,6 +215,117 @@ def _driver_dsu_labels(edges: Dataset) -> Dataset:
     return rd.from_arrow(pa.Table.from_pylist(rows))
 
 
+def _dsu_rows(us, vs):
+    """Union-find over one partition's edges → {node: root} with root = the
+    length-lex min member of each local component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(us, vs):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # ids are length-lex encoded: plain string min == numeric-aware min
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
+def _contract_cc(edges: Dataset, num_partitions: int, quotient_max: int = 500_000) -> Dataset:
+    """Connected components by LOCAL CONTRACTION — two bucketed shuffles
+    instead of O(diameter) propagation rounds.
+
+    1. Hash-partition EDGES; per partition a union-find contracts its local
+       components → (node, local_root) rows. A component's global min node is
+       always some partition's local root (the local root is the min of a
+       subset containing it), so min-over-local-roots = the canonical label.
+    2. Group (node, local_root) by node: a node seen with k distinct local
+       roots links them — emit k-1 QUOTIENT edges (and the node's first root
+       for final relabeling).
+    3. The quotient graph is tiny (≤ #cross-partition boundary nodes): solve
+       it with a driver DSU and broadcast {local_root: final_label}; if it
+       exceeds ``quotient_max`` fall back to iterative propagation over it
+       (geometrically smaller than the input).
+    Expects length-lex ENCODED string edges; returns encoded (node, label).
+    """
+    import pandas as pd
+
+    from .blocking import bucketed_apply
+
+    def local_dsu(g: pd.DataFrame) -> pd.DataFrame:
+        lab = _dsu_rows(g["u"].tolist(), g["v"].tolist())
+        return pd.DataFrame({"node": list(lab.keys()), "root": list(lab.values())})
+
+    node_root = bucketed_apply(edges, ["u", "v"], local_dsu, num_buckets=num_partitions)
+
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_a, out_b = [], [], []
+        for node, sub in g.groupby("node", sort=False):
+            roots = sorted(set(sub["root"]))
+            out_k.append("n")
+            out_a.append(node)
+            out_b.append(roots[0])
+            for i in range(1, len(roots)):
+                out_k.append("q")
+                out_a.append(roots[i - 1])
+                out_b.append(roots[i])
+        return pd.DataFrame({"kind": out_k, "a": out_a, "b": out_b})
+
+    per_node_ds = bucketed_apply(node_root, ["node"], per_node, num_buckets=num_partitions).materialize()
+    if per_node_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], type=pa.string()), "label": pa.array([], type=pa.string())})
+        )
+    quotient = per_node_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "q")).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    assignments = per_node_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "n")).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    n_quotient = quotient.count()
+    if n_quotient <= quotient_max:
+        qlab: dict = {}
+        if n_quotient:
+            qt = pa.concat_tables(list(quotient.iter_batches(batch_size=65536, batch_format="pyarrow")))
+            qlab = _dsu_rows(qt["a"].to_pylist(), qt["b"].to_pylist())
+        import ray as _ray
+
+        qref = _ray.put(qlab)
+
+        def relabel(t: pa.Table, qref=qref) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            q = cached_get(qref)
+            roots = t["b"].to_pylist()
+            lab = [q.get(r, r) for r in roots]
+            return pa.table({"node": t["a"], "label": pa.array(lab, type=pa.string())})
+
+        return assignments.map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+    # rare path: quotient still large — RECURSE on it (boundary graph shrinks
+    # geometrically per level) and compose the mappings with one join
+    qedges = quotient.rename_columns({"a": "u", "b": "v"})
+    qlabels = _contract_cc(qedges, num_partitions, quotient_max=quotient_max).rename_columns(
+        {"node": "b", "label": "qlabel"}
+    )
+    joined = hash_join(assignments.rename_columns({"a": "node"}), qlabels,
+                       on=["b"], num_partitions=num_partitions, how="left")
+    return joined.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": pc.coalesce(t["qlabel"], t["b"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def connected_components(
     edges: Dataset,
     checkpoint_dir: Optional[str] = None,
@@ -235,6 +358,11 @@ def connected_components(
             # the only path when checkpoint/resume is requested
             return _driver_dsu_labels(raw)
         edges = raw
+
+    if checkpoint_dir is None:
+        # non-resumable runs take the 2-shuffle contraction path; the
+        # iterative loop below remains the checkpointed/resumable form
+        return _decode_labels(_contract_cc(_encode_only(edges), num_partitions))
 
     edges = _encode_edges(edges).repartition(num_partitions).materialize()  # reused every iteration
     if edges.count() == 0:
