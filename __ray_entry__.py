@@ -437,6 +437,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
+        # MinHash-LSH near-dedup: the LSH stage is a recall device; at the
+        # verify threshold (exact char-4-gram jaccard >= 0.8) band collision
+        # probability is ~1, so the output equals the transitive closure of
+        # ALL >= 0.8 pairs — which SQL CAN compute exactly (grams -> pairwise
+        # jaccard -> recursive-CTE closure, dup_group = min member id).
+        "dedup_minhash_lsh": """
+            WITH RECURSIVE docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN length(text) < 4 THEN text ELSE gram END AS g
+              FROM (
+                SELECT doc_id, text,
+                       unnest(list_transform(range(1, greatest(length(text)-2, 2)),
+                                             i -> substring(text, i, 4))) AS gram
+                FROM docs WHERE length(text) > 0
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id1, id2 FROM inter
+              JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+              WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+            ),
+            edges AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+            walk(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id WHERE w.label < e.v
+            )
+            SELECT id AS doc_id, min(label) AS dup_group FROM walk GROUP BY id
+        """,
         "a2_orders_by_customer": """
             SELECT o_custkey, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price,

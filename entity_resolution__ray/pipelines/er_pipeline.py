@@ -120,12 +120,20 @@ def run_er_pipeline(
     (labels train a fresh matcher exactly like train_classifier.py)."""
     cfg = config or ERConfig()
 
-    def stage(ds, name, multi_consumer=False):
+    def stage(ds, name, multi_consumer=False, rows_in_from: Optional[str] = None):
         """Checkpoint/materialize, or keep lazy single-consumer stages fused
-        into one streaming execution in lazy benchmark mode."""
+        into one streaming execution in lazy benchmark mode. ``rows_in_from``
+        names the upstream stage whose manifest rows_out is this stage's
+        rows_in (manifests then record rows_dropped per stage)."""
         if workdir is None and cfg.lazy_stages and not multi_consumer:
             return ds
-        return checkpoint_stage(ds, workdir, name)
+        rows_in = None
+        if workdir is not None and rows_in_from is not None:
+            from .lineage import read_manifest, stage_is_complete
+
+            if stage_is_complete(workdir, rows_in_from):
+                rows_in = read_manifest(workdir, rows_in_from).get("rows_out")
+        return checkpoint_stage(ds, workdir, name, rows_in=rows_in)
 
     # Map-task parallelism follows BLOCK count; reads of small corpora (and
     # groupby outputs) otherwise collapse every stage to 1-2 tasks. One cheap
@@ -173,7 +181,7 @@ def run_er_pipeline(
             mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
         )
         feats_ds = pair_features(with_texts, vec_word, vec_char)
-    feats = stage(feats_ds, "03_pair_features", multi_consumer=training)
+    feats = stage(feats_ds, "03_pair_features", multi_consumer=training, rows_in_from="02_candidate_pairs")
 
     # 6. matcher: train on labeled pairs (driver-side protocol) or use given model
     if training:
@@ -182,7 +190,7 @@ def run_er_pipeline(
         model = train_matcher_from_labels(feats, labeled_pairs)
 
     # 7. score all pairs (actor pool)
-    edges = stage(score_pairs(feats, model), "04_edges")
+    edges = stage(score_pairs(feats, model), "04_edges", rows_in_from="03_pair_features")
 
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
     attach_cols = {}
@@ -204,9 +212,10 @@ def run_er_pipeline(
             use_token_overlap=cfg.use_token_overlap,
         ),
         "05_edge_verdicts",
+        rows_in_from="04_edges",
     )
     kept, dropped = split_kept_dropped(verdict)
-    kept = stage(kept, "06_edges_filtered", multi_consumer=cfg.run_cohort_transitivity)
+    kept = stage(kept, "06_edges_filtered", multi_consumer=cfg.run_cohort_transitivity, rows_in_from="05_edge_verdicts")
 
     # 9. clustering: flat CC (C7) and cohort transitivity (C5), both resumable
     cc_dir = os.path.join(workdir, "07_cc") if workdir else None

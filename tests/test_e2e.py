@@ -87,6 +87,13 @@ def test_lineage_manifests_written(pipeline_run):
         assert m["rows_out"] > 0
         assert m["partitions"], stage
         assert m["wall_s"] >= 0
+    # rows in/out/dropped are threaded between consecutive stages (north_rule:
+    # per-partition lineage records drop counts) — the constraint stage drops
+    m6 = read_manifest(workdir, "06_edges_filtered")
+    assert m6["rows_in"] is not None
+    assert m6["rows_dropped"] is not None and m6["rows_dropped"] >= 0
+    m5 = read_manifest(workdir, "05_edge_verdicts")
+    assert m5["rows_in"] is not None and m5["rows_dropped"] is not None
 
 
 def test_rerun_skips_finished_stages(pipeline_run, fixture_corpus):
