@@ -352,7 +352,10 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    return simhash_candidates(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3)
+    # md5 token hashing → the DuckDB oracle recomputes identical signatures;
+    # recall at Hamming ≤ 3 is exact (4×16-bit bands, pigeonhole), so the
+    # output is the deterministic set of all ≤3-Hamming pairs.
+    return simhash_candidates(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3, hash_mode="md5")
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -409,6 +412,10 @@ def _q_er_clusters(sf_dir: str):
             num_partitions=16, use_geo=False, run_cohort_transitivity=False,
             per_doc_topk=40, max_group_size=256,  # the reference's k=40 blocking fan-out
             cc_driver_fallback=100_000,
+            # single-consumer stages stay lazy → one fused streaming execution
+            # (no per-stage materialize barriers); checkpointed runs still
+            # materialize every stage
+            lazy_stages=True,
         ),
     )
     return out["clusters_cc"]
@@ -472,6 +479,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id WHERE w.label < e.v
             )
             SELECT id AS doc_id, min(label) AS dup_group FROM walk GROUP BY id
+        """,
+        # SimHash near-dedup: the Ray query hashes tokens with md5 (first 8
+        # bytes, big-endian) so SQL can recompute the EXACT 64-bit signature
+        # (bit b set iff >half the token occurrences have bit b of md5 set);
+        # 4×16-bit banding has exact recall at Hamming ≤ 3 (pigeonhole), so
+        # the output is precisely all pairs with bit_count(xor) <= 3.
+        "dedup_simhash": r"""
+            WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+            toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM docs WHERE trim(text) <> ''
+            ),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks WHERE tok <> ''
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+            bits AS (
+              SELECT t.doc_id, b.b, sum(((t.h >> b.b) & 1)::BIGINT) AS s
+              FROM th t CROSS JOIN (SELECT unnest(range(64))::BIGINT AS b) b
+              GROUP BY 1, 2
+            ),
+            sh AS (
+              SELECT bb.doc_id,
+                     bit_or(CASE WHEN 2*bb.s > c.n THEN (1::UBIGINT << bb.b::INTEGER)
+                                 ELSE 0::UBIGINT END) AS sig
+              FROM bits bb JOIN cnt c ON bb.doc_id = c.doc_id
+              GROUP BY bb.doc_id
+            ),
+            allsig AS (
+              SELECT d.doc_id, coalesce(sh.sig, 0::UBIGINT) AS sig
+              FROM docs d LEFT JOIN sh ON d.doc_id = sh.doc_id
+            )
+            SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "a2_orders_by_customer": """
             SELECT o_custkey, count(*) AS n_orders,

@@ -18,6 +18,7 @@ inverse of the (odd) base mod 2^64.
 
 from __future__ import annotations
 
+import hashlib
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -108,6 +109,23 @@ def hash_strings(col, seed: int = 0) -> np.ndarray:
         base = np.zeros(n, dtype=_U64)
     h = _splitmix64(base ^ _splitmix64(lengths.astype(_U64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)))
     return h
+
+
+def md5_hash_strings(col) -> np.ndarray:
+    """Per-string uint64 = first 8 bytes (big-endian) of md5 — the one hash an
+    external SQL engine can replicate exactly (DuckDB ``md5()``), used where a
+    query output must be oracle-checkable. Hashes UNIQUE strings only (md5 has
+    no vectorized kernel) and gathers, so cost is O(distinct) not O(rows)."""
+    arr = _as_single_array(col)
+    if len(arr) == 0:
+        return np.empty(0, dtype=_U64)
+    vals = np.asarray(arr.to_pylist(), dtype=object)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") for s in uniq),
+        dtype=_U64, count=len(uniq),
+    )
+    return hu[inv]
 
 
 def hash_ints(vals: np.ndarray, seed: int = 0) -> np.ndarray:

@@ -295,6 +295,12 @@ def bucketed_apply(
         return t.append_column("__gb", bucket_ids(t, cols, num_buckets))
 
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    # Ray's sort-based groupby emits as many output blocks as it gets input
+    # blocks, and map_groups parallelism follows — a narrow upstream (few
+    # blocks) would run all buckets in 1-2 tasks no matter how many CPUs the
+    # cluster has. Repartitioning to num_buckets pins the per-bucket work to
+    # bucket-level parallelism regardless of upstream block structure.
+    keyed = keyed.repartition(num_buckets)
 
     def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=["__gb"]))

@@ -41,6 +41,7 @@ from ..functions.hashing import (
     _splitmix64,
     band_keys_batch,
     hash_strings,
+    md5_hash_strings,
     minhash_signatures_batch,
     qgram_hashes_batch,
     u64_to_hex_strings,
@@ -83,12 +84,14 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 # ---------------------------------------------------------------------------
 # shingle hashing (batched, all modes)
 # ---------------------------------------------------------------------------
-def shingle_hashes_batch(col, shingle: str) -> Tuple[np.ndarray, np.ndarray]:
+def shingle_hashes_batch(col, shingle: str, token_hasher=None) -> Tuple[np.ndarray, np.ndarray]:
     """Flat 64-bit shingle hashes + per-row counts for a batch of texts.
 
     Modes: ``char4`` (char q-grams, fully buffer-level), ``word`` (whitespace
     tokens), ``wordN`` (N-token grams; rows with < N tokens fall back to
     single-token shingles — reference ``[...] or toks`` semantics).
+    ``token_hasher`` overrides the per-token hash in ``word`` mode (e.g.
+    ``md5_hash_strings`` so an external SQL oracle can replicate signatures).
     """
     if shingle.startswith("char"):
         q = int(shingle[4:]) if len(shingle) > 4 else 4
@@ -99,7 +102,8 @@ def shingle_hashes_batch(col, shingle: str) -> Tuple[np.ndarray, np.ndarray]:
     )
     toks = s.str.split().explode().dropna()
     rows = toks.index.to_numpy(dtype=np.int64)
-    h = hash_strings(pa.array(toks.to_numpy(dtype=object), type=pa.string()))
+    hasher = token_hasher or hash_strings
+    h = hasher(pa.array(toks.to_numpy(dtype=object), type=pa.string()))
     counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
     if shingle == "word":
         return h, counts
@@ -413,9 +417,12 @@ class SimHashKeys:
     """Batch fn: text → simhash + 4×16-bit band keys (detects Hamming ≤ 3 by
     pigeonhole: at least one band is identical). Vectorized."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", hash_mode: str = "fast"):
         self.text_col = text_col
         self.id_col = id_col
+        # "md5" makes signatures replicable by an external SQL oracle
+        # (DuckDB md5()); "fast" is the vectorized polynomial hash.
+        self.token_hasher = md5_hash_strings if hash_mode == "md5" else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -424,7 +431,7 @@ class SimHashKeys:
                 {"band_key": pa.array([], type=pa.string()), "doc_id": batch[self.id_col],
                  "simhash": pa.array([], type=pa.uint64())}
             )
-        h, counts = shingle_hashes_batch(batch[self.text_col], "word")
+        h, counts = shingle_hashes_batch(batch[self.text_col], "word", token_hasher=self.token_hasher)
         sigs = simhash_batch(h, counts)  # (n,)
         chunks = np.empty((n, 4), dtype=np.uint64)
         for b in range(4):
@@ -442,9 +449,14 @@ class SimHashKeys:
         )
 
 
-def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
-    """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming."""
-    keyer = SimHashKeys(text_col=text_col, id_col=id_col)
+def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3, hash_mode: str = "fast") -> Dataset:
+    """Candidate near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Recall is exact for max_hamming ≤ 3 (4×16-bit bands, pigeonhole), so with
+    ``hash_mode="md5"`` the output is the deterministic set of ALL pairs at
+    Hamming ≤ 3 — replicable by a SQL oracle computing md5-based simhashes."""
+    keyer = SimHashKeys(text_col=text_col, id_col=id_col, hash_mode=hash_mode)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:

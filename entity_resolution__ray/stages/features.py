@@ -284,16 +284,24 @@ class _BundleStore:
             la = t[idx_col].combine_chunks()
             ptr = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             ptr = np.append(ptr, ptr[-1])  # empty sentinel row
-            idx = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            # copy=False: the Arrow buffers are already int64/float64, so these
+            # are views — an unconditional astype was copying the whole CSR
+            # per worker (~2s per store build, paid once per worker process)
+            idx = la.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             if val_col is None:
                 return ptr, idx
-            vals = t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             return ptr, idx, vals
 
         self.w = csr("w_idx", "w_val")
         self.c = csr("c_idx", "c_val")
         self.tc = csr("tc_h", "tc_c")
         self.tj = csr("tj_h")
+        # feature-space widths, computed ONCE: scanning the (possibly
+        # tens-of-millions-element) CSR index arrays per scoring batch made
+        # the kernel superlinear in corpus size
+        self.w_n = int(self.w[1].max(initial=0)) + 1
+        self.c_n = int(self.c[1].max(initial=0)) + 1
         self.mp = np.array((t["mp"].to_pylist() if n else []) + [""], dtype=object)
         self.has_tok = np.array((t["has_tok"].to_pylist() if n else []) + [False], dtype=bool)
         self.txt = np.array((t["txt"].to_pylist() if n else []) + [""], dtype=object)
@@ -310,13 +318,11 @@ def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
     rr = store.rows_for(batch["id_right"].to_pylist())
     n = len(rl)
     out: Dict[str, np.ndarray] = {}
-    wn = max(1, int(max(store.w[1].max(initial=0) + 1, 1)))
     out["tfidf_word_cosine"] = strsim.rowwise_cosine_csr(
-        *_csr_take(*store.w, rl), *_csr_take(*store.w, rr), n, wn
+        *_csr_take(*store.w, rl), *_csr_take(*store.w, rr), n, max(store.w_n, 1)
     )
-    cn = max(1, int(max(store.c[1].max(initial=0) + 1, 1)))
     out["tfidf_char_cosine"] = strsim.rowwise_cosine_csr(
-        *_csr_take(*store.c, rl), *_csr_take(*store.c, rr), n, cn
+        *_csr_take(*store.c, rl), *_csr_take(*store.c, rr), n, max(store.c_n, 1)
     )
     out["token_cosine"] = strsim.rowwise_cosine_hashed(
         *_csr_take(*store.tc, rl), *_csr_take(*store.tc, rr), n

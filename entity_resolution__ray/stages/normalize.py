@@ -17,6 +17,8 @@ actor in ``__init__``.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -98,8 +100,15 @@ def _normalize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def normalize_docs(docs: Dataset, concurrency=None, batch_size: int = 4096) -> Dataset:
-    """docs (doc_id, spans) → NORMALIZED_DOCS_SCHEMA."""
+def normalize_docs(docs: Dataset, concurrency=None, batch_size: Optional[int] = None) -> Dataset:
+    """docs (doc_id, spans) → NORMALIZED_DOCS_SCHEMA.
+
+    ``batch_size=None`` (default) keeps one task per input block: a fixed
+    batch_size would COALESCE many small blocks into few tasks (observed: a
+    32-block corpus collapsing to 2 normalize tasks, which then starves every
+    downstream stage since Ray sort/groupby output block counts follow their
+    input). Block size — set by the read or an upstream repartition — is the
+    parallelism contract; this stage preserves it."""
     return docs.map_batches(
         _normalize_batch,
         batch_format="pyarrow",

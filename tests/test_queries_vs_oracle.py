@@ -73,6 +73,8 @@ SQL_CHECKED = [
     "text_quality",
     "token_counts",
     "fingerprint_md5",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 
@@ -94,6 +96,6 @@ def test_all_oracle_entries_have_queries(entry_mod):
 
 
 def test_rows_only_queries_run(entry_mod):
-    for name in ["dedup_minhash_lsh", "dedup_simhash", "lang_id"]:
+    for name in ["lang_id"]:
         out = _to_pandas(entry_mod.queries()[name](SF_DIR))
         assert out is not None
