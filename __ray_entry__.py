@@ -40,6 +40,7 @@ from entity_resolution__ray.stages.dedup import (
 from entity_resolution__ray.stages.joins import hash_join
 from entity_resolution__ray.stages.similarity import brute_force_topk
 from entity_resolution__ray.stages.text_analysis import (
+    _LANG_PROFILES,
     fingerprints,
     language_id,
     quality_score,
@@ -424,6 +425,42 @@ def _q_er_clusters(sf_dir: str):
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
+def _lang_id_oracle_sql() -> str:
+    """SQL replica of stages.text_analysis.LanguageId, built from the SAME
+    ``_LANG_PROFILES`` dict so the two can never drift: CJK chars → 'zh';
+    otherwise argmax of per-language function-word occurrence counts over
+    ``[a-zA-Z']+`` tokens, ties → earliest profile in insertion order,
+    zero hits → 'und'."""
+    rows = []
+    for ord_, (lang, prof) in enumerate(_LANG_PROFILES.items()):
+        for w in sorted(prof):
+            rows.append(f"('{lang}', '{w}', {ord_})")
+    values = ", ".join(rows)
+    return f"""
+        WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        profiles(lang, w, ord) AS (VALUES {values}),
+        toks AS (
+            SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Z'']+'))) AS w
+            FROM docs
+        ),
+        scores AS (
+            SELECT t.doc_id, p.lang, p.ord, count(*) AS s
+            FROM toks t JOIN profiles p ON t.w = p.w
+            GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, ord ASC) AS rn
+            FROM scores
+        )
+        SELECT d.doc_id,
+               CASE WHEN regexp_matches(d.text, '[一-鿿぀-ヿ]') THEN 'zh'
+                    WHEN b.lang IS NOT NULL THEN b.lang
+                    ELSE 'und' END AS lang_pred
+        FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "m8_filter_project": """
@@ -517,6 +554,9 @@ def oracle_sql() -> dict[str, str]:
             FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
+        # language ID: the heuristic is deterministic (profile argmax with
+        # fixed tie order) so the SQL replica is exact — see _lang_id_oracle_sql
+        "lang_id": _lang_id_oracle_sql(),
         "a2_orders_by_customer": """
             SELECT o_custkey, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price,

@@ -75,6 +75,7 @@ SQL_CHECKED = [
     "fingerprint_md5",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "lang_id",
 ]
 
 
@@ -96,6 +97,7 @@ def test_all_oracle_entries_have_queries(entry_mod):
 
 
 def test_rows_only_queries_run(entry_mod):
-    for name in ["lang_id"]:
-        out = _to_pandas(entry_mod.queries()[name](SF_DIR))
-        assert out is not None
+    # er_clusters (model-driven, legitimately no SQL oracle) is exercised by
+    # the e2e/conformance tests; smoke-run nothing else — every other query
+    # is oracle-checked above.
+    assert set(entry_mod.queries()) - set(entry_mod.oracle_sql()) == {"er_clusters"}
