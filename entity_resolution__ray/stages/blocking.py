@@ -278,17 +278,22 @@ def bucketed_apply(
     key_cols: Sequence[str],
     bucket_fn,
     num_buckets: int = 64,
+    batch_format: str = "pandas",
+    repartition: Optional[bool] = None,
 ) -> Dataset:
-    """Hash-bucket rows by key column(s), then run ONE vectorized pandas
-    function per bucket.
+    """Hash-bucket rows by key column(s), then run ONE vectorized function per
+    bucket (a pandas DataFrame or, with ``batch_format="pyarrow"``, an Arrow
+    table — string-heavy aggregations should use Arrow: the pandas conversion
+    materializes every value as a Python object, which dominated the pair
+    collapse at millions of rows).
 
     This is the engine's high-cardinality aggregation primitive: Ray's
     ``groupby(key).aggregate(...)`` runs a Python accumulator per GROUP, which
     collapses at millions of tiny groups (pair keys, node ids). Bucketing
     moves the same bytes through one shuffle but leaves the per-key work to a
-    vectorized ``DataFrame.groupby`` inside each of ``num_buckets`` tasks.
-    Rows with equal keys always land in the same bucket, so any per-key
-    computation is exact."""
+    vectorized ``DataFrame.groupby`` / ``Table.group_by`` inside each of
+    ``num_buckets`` tasks. Rows with equal keys always land in the same
+    bucket, so any per-key computation is exact."""
     cols = list(key_cols)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -299,8 +304,25 @@ def bucketed_apply(
     # blocks, and map_groups parallelism follows — a narrow upstream (few
     # blocks) would run all buckets in 1-2 tasks no matter how many CPUs the
     # cluster has. Repartitioning to num_buckets pins the per-bucket work to
-    # bucket-level parallelism regardless of upstream block structure.
-    keyed = keyed.repartition(num_buckets)
+    # bucket-level parallelism — but only when the upstream is actually
+    # narrow: for wide inputs the repartition just moves every byte twice.
+    # ``repartition`` overrides (False for inputs KNOWN to be wide, e.g. the
+    # output of a previous bucketed stage); the default asks a materialized
+    # input for its real block count and assumes narrow for lazy inputs.
+    if repartition is None:
+        try:
+            repartition = ds.num_blocks() < num_buckets
+        except NotImplementedError:
+            repartition = True
+    if repartition:
+        keyed = keyed.repartition(num_buckets)
+
+    if batch_format == "pyarrow":
+
+        def apply_bucket_arrow(g: pa.Table) -> pa.Table:
+            return bucket_fn(g.drop_columns(["__gb"]))
+
+        return keyed.groupby("__gb").map_groups(apply_bucket_arrow, batch_format="pyarrow")
 
     def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=["__gb"]))
@@ -342,12 +364,17 @@ def candidate_pairs(
     emitter = PairEmitter(max_group_size=max_group_size, per_doc_topk=per_doc_topk)
     pairs = bucketed_group_apply(block_keys, "block_key", emitter, num_buckets=num_buckets)
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["id_left", "id_right"], as_index=False).agg(
-            sim=("sim", "max"), block_key=("block_key", "min")
+    def collapse(g: pa.Table) -> pa.Table:
+        out = g.group_by(["id_left", "id_right"]).aggregate(
+            [("sim", "max"), ("block_key", "min")]
         )
+        return out.rename_columns(["id_left", "id_right", "sim", "block_key"])
 
-    return bucketed_apply(pairs, ["id_left", "id_right"], collapse, num_buckets=num_buckets)
+    return bucketed_apply(
+        pairs, ["id_left", "id_right"], collapse, num_buckets=num_buckets,
+        batch_format="pyarrow",
+        repartition=False,  # input is the emit stage's num_buckets-wide output
+    )
 
 
 # ---------------------------------------------------------------------------

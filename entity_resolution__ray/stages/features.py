@@ -265,52 +265,100 @@ def build_doc_bundles(
     return ds.to_arrow_refs()
 
 
+def _pack_store_arrays(tables: List[pa.Table]) -> Dict[str, object]:
+    """Bundle blocks → one dict of CONTIGUOUS numpy arrays + a doc_id→row map.
+
+    This runs ONCE (in a Ray task); the returned dict is ``ray.put`` into the
+    object store and every scoring worker reads the numpy arrays as zero-copy
+    read-only plasma views. The previous design had each worker process build
+    its own store (concat + combine_chunks copies + to_pylist of every text)
+    — ~1 GB of private heap per worker, which at 32 workers thrashed the
+    allocator hard enough that the feature stage ran SLOWER at 32 CPUs than
+    at 8 (measured: 228 s vs 97 s on 50k docs). Row n_docs is a synthetic
+    EMPTY row for unknown doc ids."""
+    t = pa.concat_tables(tables) if tables else None
+    n = t.num_rows if t is not None else 0
+    out: Dict[str, object] = {"n": n}
+    out["row_of"] = {d: i for i, d in enumerate(t["doc_id"].to_pylist())} if n else {}
+
+    def csr(idx_col, val_col=None):
+        if n == 0:
+            ptr = np.zeros(2, dtype=np.int64)
+            return (ptr, np.empty(0, np.int64)) if val_col is None else (
+                ptr, np.empty(0, np.int64), np.empty(0, np.float64))
+        la = t[idx_col].combine_chunks()
+        ptr = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ptr = np.append(ptr, ptr[-1])  # empty sentinel row
+        idx = np.ascontiguousarray(la.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        if val_col is None:
+            return ptr, idx
+        vals = np.ascontiguousarray(
+            t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        )
+        return ptr, idx, vals
+
+    out["w"] = csr("w_idx", "w_val")
+    out["c"] = csr("c_idx", "c_val")
+    out["tc"] = csr("tc_h", "tc_c")
+    out["tj"] = csr("tj_h")
+    # feature-space widths, computed ONCE: scanning the CSR index arrays per
+    # scoring batch made the kernel superlinear in corpus size
+    out["w_n"] = int(out["w"][1].max(initial=0)) + 1
+    out["c_n"] = int(out["c"][1].max(initial=0)) + 1
+    # metaphone strings → int codes (only EQUALITY is ever tested); the
+    # synthetic empty row is appended before encoding so it gets a valid code
+    if n:
+        mp_codes = pa.chunked_array([t["mp"].combine_chunks(), pa.array([""])]) \
+            .dictionary_encode().combine_chunks().indices.to_numpy(zero_copy_only=False)
+        out["mp_code"] = np.ascontiguousarray(mp_codes.astype(np.int32, copy=False))
+        out["has_tok"] = np.append(
+            t["has_tok"].combine_chunks().to_numpy(zero_copy_only=False), False
+        )
+        # texts as one utf8 byte blob + offsets; per batch only the UNIQUE
+        # rows needed by the O(len²) kernels are decoded
+        txt = (
+            pa.chunked_array([t["txt"].combine_chunks(), pa.array([""])])
+            .cast(pa.large_string()).combine_chunks()
+        )
+        off = np.frombuffer(txt.buffers()[1], dtype=np.int64)
+        out["txt_off"] = off[txt.offset : txt.offset + len(txt) + 1].copy()
+        out["txt_buf"] = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8).copy()
+    else:
+        out["mp_code"] = np.zeros(1, dtype=np.int32)
+        out["has_tok"] = np.zeros(1, dtype=bool)
+        out["txt_off"] = np.zeros(2, dtype=np.int64)
+        out["txt_buf"] = np.empty(0, dtype=np.uint8)
+    return out
+
+
+@ray.remote
+def _pack_store_task(refs: List) -> Dict[str, object]:
+    return _pack_store_arrays(ray.get(list(refs)))
+
+
 class _BundleStore:
-    """Per-worker columnar bundle store (built once per worker from block
-    refs). Row n_docs is a synthetic EMPTY row for unknown doc ids."""
+    """Thin view over the packed store dict — holds zero-copy plasma views,
+    copies nothing."""
 
-    def __init__(self, tables: List[pa.Table]):
-        t = pa.concat_tables(tables) if tables else None
-        n = t.num_rows if t is not None else 0
-        self.row_of = {}
-        if n:
-            self.row_of = {d: i for i, d in enumerate(t["doc_id"].to_pylist())}
-
-        def csr(idx_col, val_col=None):
-            if n == 0:
-                ptr = np.zeros(2, dtype=np.int64)
-                return (ptr, np.empty(0, np.int64)) if val_col is None else (
-                    ptr, np.empty(0, np.int64), np.empty(0, np.float64))
-            la = t[idx_col].combine_chunks()
-            ptr = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            ptr = np.append(ptr, ptr[-1])  # empty sentinel row
-            # copy=False: the Arrow buffers are already int64/float64, so these
-            # are views — an unconditional astype was copying the whole CSR
-            # per worker (~2s per store build, paid once per worker process)
-            idx = la.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            if val_col is None:
-                return ptr, idx
-            vals = t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-            return ptr, idx, vals
-
-        self.w = csr("w_idx", "w_val")
-        self.c = csr("c_idx", "c_val")
-        self.tc = csr("tc_h", "tc_c")
-        self.tj = csr("tj_h")
-        # feature-space widths, computed ONCE: scanning the (possibly
-        # tens-of-millions-element) CSR index arrays per scoring batch made
-        # the kernel superlinear in corpus size
-        self.w_n = int(self.w[1].max(initial=0)) + 1
-        self.c_n = int(self.c[1].max(initial=0)) + 1
-        self.mp = np.array((t["mp"].to_pylist() if n else []) + [""], dtype=object)
-        self.has_tok = np.array((t["has_tok"].to_pylist() if n else []) + [False], dtype=bool)
-        self.txt = np.array((t["txt"].to_pylist() if n else []) + [""], dtype=object)
-        self.empty_row = n
+    def __init__(self, packed: Dict[str, object]):
+        self.row_of = packed["row_of"]
+        self.empty_row = packed["n"]
+        self.w, self.c, self.tc, self.tj = packed["w"], packed["c"], packed["tc"], packed["tj"]
+        self.w_n, self.c_n = packed["w_n"], packed["c_n"]
+        self.mp_code = packed["mp_code"]
+        self.has_tok = packed["has_tok"]
+        self._txt_off = packed["txt_off"]
+        self._txt_buf = packed["txt_buf"]
 
     def rows_for(self, ids) -> np.ndarray:
         er = self.empty_row
         ro = self.row_of
         return np.fromiter((ro.get(d, er) for d in ids), dtype=np.int64, count=len(ids))
+
+    def texts_for(self, rows: np.ndarray) -> List[str]:
+        off, buf = self._txt_off, self._txt_buf
+        mv = memoryview(buf)
+        return [str(mv[off[r]:off[r + 1]], "utf-8") for r in rows]
 
 
 def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
@@ -331,15 +379,16 @@ def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
     jb_ptr, jb_keys, _ = _csr_take(store.tj[0], store.tj[1], store.tj[1].astype(np.float64), rr)
     out["token_jaccard"] = strsim.rowwise_jaccard_hashed(ja_ptr, ja_keys, jb_ptr, jb_keys, n)
     out["dmetaphone_match"] = np.where(
-        store.has_tok[rl] & store.has_tok[rr], (store.mp[rl] == store.mp[rr]).astype(np.float64), 0.0
+        store.has_tok[rl] & store.has_tok[rr],
+        (store.mp_code[rl] == store.mp_code[rr]).astype(np.float64), 0.0,
     )
     # O(len²) kernels on unique (src_row, cand_row) combos only
     combo = rl * np.int64(store.empty_row + 1) + rr
     uniq, inverse = np.unique(combo, return_inverse=True)
     u_l = (uniq // np.int64(store.empty_row + 1)).astype(np.int64)
     u_r = (uniq % np.int64(store.empty_row + 1)).astype(np.int64)
-    src_t = store.txt[u_l].tolist()
-    cand_t = store.txt[u_r].tolist()
+    src_t = store.texts_for(u_l)
+    cand_t = store.texts_for(u_r)
     lcs_u, edit_u = strsim.lcs_and_edit_batch(src_t, cand_t)
     jw_u = strsim.jaro_winkler_batch(src_t, cand_t)
     out["lcs_ratio"] = lcs_u[inverse]
@@ -363,19 +412,21 @@ def pair_features_broadcast(
     concurrency=None,
     max_strlen: int = 128,
 ) -> Dataset:
-    """Feature scoring with broadcast doc-side bundles: doc analysis runs once
-    per DOC (distributed tasks), bundle blocks are broadcast as refs, and the
-    pair stage is pure vectorized arithmetic. Small-side path — the bundle
-    store must fit worker heap (use attach_texts(mode="join") +
-    :func:`pair_features` beyond that). Semantics identical to the text path
-    (same fitted vectorizers, same kernels) — covered by the parity test."""
+    """Feature scoring with a SHARED doc-side bundle store: doc analysis runs
+    once per DOC (distributed tasks), the packed store is ray.put ONCE, and
+    every scoring worker reads it as zero-copy plasma views — per-worker heap
+    is O(batch), not O(corpus). Small-side path — the store must fit the
+    object store (use attach_texts(mode="join") + :func:`pair_features`
+    beyond that). Semantics identical to the text path (same fitted
+    vectorizers, same kernels) — covered by the parity test."""
     refs = build_doc_bundles(norm_docs, vec_word, vec_char, max_strlen=max_strlen)
-    key = refs[0].hex() if refs else "empty"
+    packed_ref = _pack_store_task.remote(refs)
+    key = packed_ref.hex()
 
-    def score(batch: pa.Table, refs=refs, key=key) -> pa.Table:
+    def score(batch: pa.Table, packed_ref=packed_ref, key=key) -> pa.Table:
         from ..state.worker_cache import cached_build
 
-        store = cached_build(f"bundles:{key}:{len(refs)}", lambda: _BundleStore(ray.get(list(refs))))
+        store = cached_build(f"bundles:{key}", lambda: _BundleStore(ray.get(packed_ref)))
         return _features_from_store(batch, store)
 
     return pairs.map_batches(
