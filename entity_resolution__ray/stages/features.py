@@ -281,25 +281,30 @@ def _pack_store_arrays(tables: List[pa.Table]) -> Dict[str, object]:
     out: Dict[str, object] = {"n": n}
     out["row_of"] = {d: i for i, d in enumerate(t["doc_id"].to_pylist())} if n else {}
 
-    def csr(idx_col, val_col=None):
+    def csr(idx_col, val_col=None, idx_dtype=np.int64, val_dtype=np.float64):
         if n == 0:
             ptr = np.zeros(2, dtype=np.int64)
-            return (ptr, np.empty(0, np.int64)) if val_col is None else (
-                ptr, np.empty(0, np.int64), np.empty(0, np.float64))
+            return (ptr, np.empty(0, idx_dtype)) if val_col is None else (
+                ptr, np.empty(0, idx_dtype), np.empty(0, val_dtype))
         la = t[idx_col].combine_chunks()
         ptr = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         ptr = np.append(ptr, ptr[-1])  # empty sentinel row
-        idx = np.ascontiguousarray(la.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        idx = np.ascontiguousarray(la.values.to_numpy(zero_copy_only=False).astype(idx_dtype, copy=False))
         if val_col is None:
             return ptr, idx
         vals = np.ascontiguousarray(
-            t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            t[val_col].combine_chunks().values.to_numpy(zero_copy_only=False).astype(val_dtype, copy=False)
         )
         return ptr, idx, vals
 
-    out["w"] = csr("w_idx", "w_val")
-    out["c"] = csr("c_idx", "c_val")
-    out["tc"] = csr("tc_h", "tc_c")
+    # vocab-indexed CSRs use int32 indices + float32 weights: the scoring
+    # kernels are DRAM-bandwidth-bound (gathers dominate), so halving the
+    # bytes is a direct throughput win; cosines move by ~1e-7 (the parity
+    # test tolerance documents this). Hashed-key CSRs keep int64 (they ARE
+    # 64-bit hashes); counts compress to float32 losslessly (integers < 2^24).
+    out["w"] = csr("w_idx", "w_val", idx_dtype=np.int32, val_dtype=np.float32)
+    out["c"] = csr("c_idx", "c_val", idx_dtype=np.int32, val_dtype=np.float32)
+    out["tc"] = csr("tc_h", "tc_c", val_dtype=np.float32)
     out["tj"] = csr("tj_h")
     # feature-space widths, computed ONCE: scanning the CSR index arrays per
     # scoring batch made the kernel superlinear in corpus size
@@ -375,8 +380,8 @@ def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
     out["token_cosine"] = strsim.rowwise_cosine_hashed(
         *_csr_take(*store.tc, rl), *_csr_take(*store.tc, rr), n
     )
-    ja_ptr, ja_keys, _ = _csr_take(store.tj[0], store.tj[1], store.tj[1].astype(np.float64), rl)
-    jb_ptr, jb_keys, _ = _csr_take(store.tj[0], store.tj[1], store.tj[1].astype(np.float64), rr)
+    ja_ptr, ja_keys = _csr_take_keys(store.tj[0], store.tj[1], rl)
+    jb_ptr, jb_keys = _csr_take_keys(store.tj[0], store.tj[1], rr)
     out["token_jaccard"] = strsim.rowwise_jaccard_hashed(ja_ptr, ja_keys, jb_ptr, jb_keys, n)
     out["dmetaphone_match"] = np.where(
         store.has_tok[rl] & store.has_tok[rr],
@@ -437,6 +442,19 @@ def pair_features_broadcast(
 # ---------------------------------------------------------------------------
 # the feature kernel
 # ---------------------------------------------------------------------------
+def _csr_take_keys(indptr: np.ndarray, indices: np.ndarray, rows: np.ndarray):
+    """Keys-only CSR row gather (no value column)."""
+    lens = np.diff(indptr)[rows]
+    new_indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_indptr[1:])
+    total = int(new_indptr[-1])
+    if total == 0:
+        return new_indptr, np.empty(0, dtype=indices.dtype)
+    starts = indptr[rows]
+    gather = np.repeat(starts, lens) + (np.arange(total) - np.repeat(new_indptr[:-1], lens))
+    return new_indptr, indices[gather]
+
+
 def _csr_take(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, rows: np.ndarray):
     """Gather CSR rows by index (vectorized) — lets us transform only UNIQUE
     texts and fan results back out to pairs."""

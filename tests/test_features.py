@@ -129,6 +129,9 @@ def test_broadcast_attach_matches_join_attach(ray_session):
         .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
     )
     for col in FEATURE_COLS:
+        # 1e-5: the broadcast store keeps TF-IDF weights as float32 (the
+        # scoring kernels are DRAM-bandwidth-bound, so halving the bytes is
+        # a direct win); cosines move by ~1e-7 vs the float64 join path
         np.testing.assert_allclose(
-            via_broadcast[col].to_numpy(), via_join[col].to_numpy(), atol=1e-9, err_msg=col
+            via_broadcast[col].to_numpy(), via_join[col].to_numpy(), atol=1e-5, err_msg=col
         )
