@@ -82,10 +82,22 @@ def brute_force_topk(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
-    # final merge: per-query heaps over the (small) per-batch top-k stream
+    return _merge_topk(partial, k)
+
+
+def _merge_topk(partial: Dataset, k: int, probe_sets: Optional[List[set]] = None) -> pa.Table:
+    """Driver merge of the (small, ≤ Q×k per batch) partial top-k stream into
+    per-query heaps. With ``probe_sets``, a candidate counts for a query only
+    if its IVF cell is in that query's probe set (the cell rides with each
+    partial row — no driver-side id→cell table at any scale)."""
     heaps: dict[int, list] = {}
     for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for qi, vid, cos in zip(b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist()):
+        cells = b["cell"].to_pylist() if probe_sets is not None else [None] * len(b)
+        for qi, vid, cos, cell in zip(
+            b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist(), cells
+        ):
+            if probe_sets is not None and cell not in probe_sets[qi]:
+                continue
             h = heaps.setdefault(qi, [])
             item = (cos, _neg_id_key(vid), vid)
             if len(h) < k:
@@ -201,21 +213,55 @@ def ivf_topk(
         concurrency=(1, 8),
     )
     probe_sets = [set(int(c) for c in row) for row in probe]
-    heaps: dict[int, list] = {}
-    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for qi, vid, cos, cell in zip(
-            b["query_idx"].to_pylist(), b["vec_id"].to_pylist(), b["cosine"].to_pylist(), b["cell"].to_pylist()
-        ):
-            if cell not in probe_sets[qi]:
-                continue
-            h = heaps.setdefault(qi, [])
-            item = (cos, _neg_id_key(vid), vid)
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    rows = []
-    for qi in sorted(heaps):
-        for cos, _, vid in sorted(heaps[qi], key=lambda x: (-x[0], x[2])):
-            rows.append({"query_idx": qi, "vec_id": vid, "cosine": cos})
-    return pa.Table.from_pylist(rows)
+    return _merge_topk(partial, k, probe_sets=probe_sets)
+
+
+def ivf_write_partitioned(assigned: Dataset, path: str) -> str:
+    """Persist IVF-assigned vectors as hive-partitioned parquet — one
+    directory per cell — so searches prune whole FILES at the read instead
+    of post-scan filtering. This is the 100-TB layout: a query touching
+    ``nprobe`` of C cells reads nprobe/C of the bytes."""
+    assigned.write_parquet(path, partition_cols=["ivf_cell"])
+    return path
+
+
+def ivf_topk_partitioned(
+    path: str,
+    centers: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k over the hive-partitioned IVF layout written by
+    :func:`ivf_write_partitioned`. Cell pruning happens at file-listing time
+    (``PathPartitionFilter``) — unprobed cells' files are never opened."""
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ centers.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted_cells = {int(c) for row in probe for c in row}
+    flt = PathPartitionFilter.of(lambda kv: int(kv["ivf_cell"]) in wanted_cells)
+    sub = ray.data.read_parquet(path, partition_filter=flt, columns=[id_col, vec_col, "ivf_cell"])
+    # hive partition values come back as strings — restore int32 for the merge
+    import pyarrow.compute as pc
+
+    sub = sub.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("ivf_cell"), "ivf_cell", pc.cast(t["ivf_cell"], pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    qref = ray.put(Q)
+    partial = sub.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col,
+                               "cell_col": "ivf_cell"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    return _merge_topk(partial, k, probe_sets=probe_sets)

@@ -5,7 +5,14 @@ import pytest
 
 import ray.data as rd
 
-from entity_resolution__ray.stages.similarity import brute_force_topk, ivf_build, ivf_topk, kmeans_fit
+from entity_resolution__ray.stages.similarity import (
+    brute_force_topk,
+    ivf_build,
+    ivf_topk,
+    ivf_topk_partitioned,
+    ivf_write_partitioned,
+    kmeans_fit,
+)
 
 
 def _vectors(n=200, d=16, seed=1):
@@ -61,3 +68,25 @@ def test_ivf_topk_high_recall(ray_session):
     exact0 = _exact_topk(V, V[11], 5)
     recall = len(set(got0) & set(exact0)) / 5
     assert recall >= 0.6
+
+
+def test_ivf_partitioned_matches_inmemory(ray_session, tmp_path):
+    ds, V = _vectors(n=300, seed=4)
+    assigned, centers = ivf_build(ds, n_clusters=8, sample_size=300)
+    assigned = assigned.materialize()
+    Q = np.stack([V[11], V[123]])
+    want = ivf_topk(assigned, centers, Q, k=5, nprobe=3).to_pandas()
+
+    path = str(tmp_path / "ivf_layout")
+    ivf_write_partitioned(assigned, path)
+    # one hive directory per cell on disk
+    import os
+
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("ivf_cell=")]
+    assert len(cell_dirs) > 1
+
+    got = ivf_topk_partitioned(path, centers, Q, k=5, nprobe=3).to_pandas()
+    assert got["query_idx"].tolist() == want["query_idx"].tolist()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    # parquet roundtrip reorders the normalize/dot summation — 1-ULP drift
+    np.testing.assert_allclose(got["cosine"].to_numpy(), want["cosine"].to_numpy(), atol=1e-12)
