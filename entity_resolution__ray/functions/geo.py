@@ -73,13 +73,47 @@ def _compiled_country_patterns() -> dict[str, re.Pattern]:
     }
 
 
+def _compiled_alias_alternation() -> Tuple[re.Pattern, dict]:
+    """ALL whitelist-filtered alias patterns as one alternation with named
+    groups — one ``finditer`` pass replaces the per-alias sub loop. An alias
+    hit implies the substituted text would contain the canonical name, so
+    detection can map the hit directly without rewriting the string. Safe
+    because no substitution output (canonical country name) itself matches
+    another alias or a different country pattern."""
+    branches, group_of = [], {}
+    for i, (pat, repl) in enumerate(ACRONYM_MAP_ORDERED):
+        if repl not in GEO_COUNTRIES_WHITE_LIST:
+            continue
+        g = f"a{i}"
+        group_of[g] = repl.lower()
+        branches.append(f"(?P<{g}>{pat})")
+    return re.compile("|".join(branches), re.IGNORECASE), group_of
+
+
+def _compiled_country_alternation() -> re.Pattern:
+    """All canonical names as one alternation (longest first so e.g.
+    ``United Arab Emirates`` wins over a hypothetical prefix)."""
+    names = sorted(GEO_COUNTRIES_WHITE_LIST, key=len, reverse=True)
+    alt = "|".join(re.escape(c) for c in names)
+    return re.compile(rf"(?<!\w)(?:{alt})(?!\w)", re.IGNORECASE)
+
+
+_CANONICAL_LOWER = {c.lower(): c.lower() for c in GEO_COUNTRIES_WHITE_LIST}
+
+
 class CountryExtractor:
     """Precompiled normalizer + detectors; build once per actor/worker, apply
-    per string. Picklable via re-compilation (regexes are module-derived)."""
+    per string. Picklable via re-compilation (regexes are module-derived).
+
+    Detection runs THREE regex passes per string (undot, alias alternation,
+    canonical-name alternation) instead of the reference's 12 substitutions +
+    20 searches — same extracted set (gated by test_geo parity and the
+    real-corpus geo-conformance test), ~10× less regex work per document."""
 
     def __init__(self, restrict_to: Optional[Set[str]] = None):
         self.subs = _compiled_subs()
-        self.patterns = _compiled_country_patterns()
+        self.alias_rx, self.alias_of = _compiled_alias_alternation()
+        self.country_rx = _compiled_country_alternation()
         self.restrict_to = {c.lower().strip() for c in restrict_to} if restrict_to else None
 
     def normalize(self, text: str) -> str:
@@ -92,12 +126,13 @@ class CountryExtractor:
 
     def extract(self, text: str) -> List[str]:
         """Sorted list of canonical lower-case countries mentioned in text."""
-        normalized = self.normalize(text)
-        out: Set[str] = set()
-        if normalized:
-            for cname, pat in self.patterns.items():
-                if pat.search(normalized):
-                    out.add(cname)
+        if not isinstance(text, str) or not text:
+            return []
+        undotted = undot_acronyms(text)
+        out: Set[str] = {self.alias_of[m.lastgroup] for m in self.alias_rx.finditer(undotted)}
+        # canonical names are escaped literals, so a hit lowers to the
+        # whitelist key exactly
+        out.update(m.group(0).lower() for m in self.country_rx.finditer(undotted))
         if self.restrict_to:
             out &= self.restrict_to
         return sorted(out)

@@ -146,7 +146,10 @@ def run_er_pipeline(
     # 1. normalize (span flatten + tokens + countries); spans pass through
     # untouched. Always materialized: it feeds blocking keys, stopwords, the
     # vectorizer fit and both broadcast attaches.
-    norm = checkpoint_stage(normalize_docs(docs), workdir, "01_normalized")
+    need_geo = cfg.use_geo or cfg.run_cohort_transitivity
+    norm = checkpoint_stage(
+        normalize_docs(docs, extract_countries=need_geo), workdir, "01_normalized"
+    )
 
     # 2-3. blocking keys → candidate pairs (salted groupby shuffle + collapse)
     stop_tokens = None

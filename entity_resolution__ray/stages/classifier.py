@@ -151,9 +151,11 @@ def fit_logreg(
 class TrainedMatcher:
     """Picklable trained matcher (broadcast to ScorerActor pools).
 
-    ``gbt`` is set for the boosted-trees family (model_name="xgb" — the
-    reference's committed predictions are XGBoost, pairwise_classifier.py:268);
-    otherwise the linear coef/intercept path is used."""
+    ``gbt`` holds any tree-family model exposing ``predict_proba``
+    (model_name="xgb" → functions/gbt.HistGBT, the reference's committed
+    predictions are XGBoost, pairwise_classifier.py:268; model_name="rf" →
+    functions/rf.HistRandomForest, pairwise_classifier.py:263); otherwise the
+    linear coef/intercept path is used."""
 
     coef: np.ndarray
     intercept: float
@@ -196,12 +198,14 @@ def train_pairwise_matcher(
     """The reference training protocol (pairwise_classifier.py:284-371):
     stratified OOF probabilities → global OOF-F1 threshold → refit on all.
 
-    model_name: "logreg" (IRLS linear) or "xgb" (from-scratch histogram GBT
-    mirroring the reference's XGBClassifier config — functions/gbt.py).
-    ``gbt_params`` overrides HistGBT hyperparameters (e.g. fewer trees in
+    model_name: "logreg" (IRLS linear), "rf" (from-scratch histogram random
+    forest mirroring the reference's RandomForestClassifier config —
+    functions/rf.py) or "xgb" (from-scratch histogram GBT mirroring the
+    reference's XGBClassifier config — functions/gbt.py). ``gbt_params``
+    overrides HistGBT/HistRandomForest hyperparameters (e.g. fewer trees in
     tests)."""
-    if model_name not in ("logreg", "xgb"):
-        raise ValueError(f"Unknown model: {model_name}. Choose from: logreg | xgb")
+    if model_name not in ("logreg", "rf", "xgb"):
+        raise ValueError(f"Unknown model: {model_name}. Choose from: logreg | rf | xgb")
     X = np.nan_to_num(features.astype(np.float64), nan=0.0)
     y = labels.astype(np.float64)
 
@@ -222,6 +226,12 @@ def train_pairwise_matcher(
             m = HistGBT(random_state=random_state, **(gbt_params or {}))
             m.fit(Xs, ys, sample_weight=ws)
             return m
+        if model_name == "rf":
+            from ..functions.rf import HistRandomForest
+
+            m = HistRandomForest(random_state=random_state, **(gbt_params or {}))
+            m.fit(Xs, ys, sample_weight=ws)
+            return m
         return fit_logreg(Xs, ys, ws)
 
     folds = _stratified_folds(y, n_folds, random_state)
@@ -232,7 +242,7 @@ def train_pairwise_matcher(
         va = ~tr
         scaler = StandardScaler().fit(X[tr])
         fitted = _fit_fold(scaler.transform(X[tr]), y[tr], sample_weight[tr])
-        if model_name == "xgb":
+        if model_name in ("xgb", "rf"):
             p_va = fitted.predict_proba(scaler.transform(X[va]))
         else:
             coef, b = fitted
@@ -265,7 +275,7 @@ def train_pairwise_matcher(
 
     scaler = StandardScaler().fit(X)
     fitted = _fit_fold(scaler.transform(X), y, sample_weight)
-    if model_name == "xgb":
+    if model_name in ("xgb", "rf"):
         return TrainedMatcher(
             coef=np.zeros(X.shape[1]),
             intercept=0.0,

@@ -81,26 +81,33 @@ class NormalizeDocs:
         )
 
 
-def _normalize_batch(batch: pa.Table) -> pa.Table:
+def _normalize_batch(batch: pa.Table, extract_countries: bool = True) -> pa.Table:
     """Task-based normalize: the compiled CountryExtractor is built once per
     worker process (state/worker_cache) — actor-pool amortization without a
     pool; tasks stay elastic across the cluster."""
-    from ..state.worker_cache import cached_build
-
-    extractor = cached_build("country_extractor", CountryExtractor)
     full_text = flatten_spans_to_text(batch["spans"])
     norm_text = norm_text_array(full_text)
     tokens = tokens_array(full_text)
-    countries = pa.array(extractor.extract_batch(full_text.to_pylist()), type=pa.list_(pa.string()))
-    return (
+    out = (
         batch.append_column("full_text", full_text)
         .append_column("norm_text", norm_text)
         .append_column("tokens", tokens)
-        .append_column("countries", countries)
     )
+    if extract_countries:
+        from ..state.worker_cache import cached_build
+
+        extractor = cached_build("country_extractor", CountryExtractor)
+        countries = pa.array(extractor.extract_batch(full_text.to_pylist()), type=pa.list_(pa.string()))
+        out = out.append_column("countries", countries)
+    return out
 
 
-def normalize_docs(docs: Dataset, concurrency=None, batch_size: Optional[int] = None) -> Dataset:
+def normalize_docs(
+    docs: Dataset,
+    concurrency=None,
+    batch_size: Optional[int] = None,
+    extract_countries: bool = True,
+) -> Dataset:
     """docs (doc_id, spans) → NORMALIZED_DOCS_SCHEMA.
 
     ``batch_size=None`` (default) keeps one task per input block: a fixed
@@ -108,9 +115,15 @@ def normalize_docs(docs: Dataset, concurrency=None, batch_size: Optional[int] = 
     32-block corpus collapsing to 2 normalize tasks, which then starves every
     downstream stage since Ray sort/groupby output block counts follow their
     input). Block size — set by the read or an upstream repartition — is the
-    parallelism contract; this stage preserves it."""
+    parallelism contract; this stage preserves it.
+
+    ``extract_countries=False`` drops the regex country-detection pass (and
+    the ``countries`` column) — it is ~90% of this stage's per-doc compute,
+    pure waste when the pipeline runs with geo constraints off."""
+    import functools
+
     return docs.map_batches(
-        _normalize_batch,
+        functools.partial(_normalize_batch, extract_countries=extract_countries),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -101,3 +101,33 @@ def test_scorer_actor_stage(ray_session):
     want = tm.predict_proba_np(X[:50])
     got = out["prob_match"].to_numpy()
     np.testing.assert_allclose(np.sort(got), np.sort(want), atol=1e-9)
+
+
+def test_rf_family_trains_and_separates():
+    X, y = _toy_data()
+    tm = train_pairwise_matcher(
+        X, y, model_name="rf", gbt_params={"n_estimators": 50, "max_depth": 8}
+    )
+    assert tm.gbt is not None
+    assert tm.metrics["model"] == "rf"
+    assert tm.metrics["oof_roc_auc"] > 0.9
+    p = tm.predict_proba_np(X)
+    assert roc_auc(y, p) > 0.95
+    assert np.all((p >= 0.0) & (p <= 1.0))
+
+
+def test_rf_deterministic_and_picklable():
+    import pickle
+
+    X, y = _toy_data(n=200, seed=3)
+    tm1 = train_pairwise_matcher(X, y, model_name="rf", gbt_params={"n_estimators": 20})
+    tm2 = train_pairwise_matcher(X, y, model_name="rf", gbt_params={"n_estimators": 20})
+    np.testing.assert_allclose(tm1.predict_proba_np(X), tm2.predict_proba_np(X))
+    rt = pickle.loads(pickle.dumps(tm1))
+    np.testing.assert_allclose(rt.predict_proba_np(X), tm1.predict_proba_np(X))
+
+
+def test_unknown_model_raises():
+    X, y = _toy_data(n=100)
+    with pytest.raises(ValueError, match="logreg | rf | xgb"):
+        train_pairwise_matcher(X, y, model_name="svm")

@@ -164,7 +164,7 @@ def full_run(ray_session, corpus):
     kept, _ = split_kept_dropped(apply_constraints(eds, min_prob=0.45, use_geo=True))
     clusters = cohort_transitivity(kept, min_prob=0.60, num_partitions=4).to_pandas()
     clusters["node_id"] = clusters["node_id"].astype(int)
-    return {"cands": cands, "scored": scored, "clusters": clusters, "model": model}
+    return {"cands": cands, "scored": scored, "clusters": clusters, "model": model, "X": X, "y": y}
 
 
 def test_blocking_recovers_reference_candidates(full_run):
@@ -187,6 +187,19 @@ def test_classifier_matches_or_beats_reference_accuracy(full_run, corpus):
     p, r = tp / max(tp + fp, 1), tp / max(tp + fn, 1)
     f1 = 2 * p * r / max(p + r, 1e-12)
     assert f1 >= 0.85, (f1, p, r)
+
+
+def test_rf_family_same_accuracy_class_on_real_features(full_run):
+    """The reference's third model family (rf — pairwise_classifier.py:263)
+    on the SAME real-corpus pair features: our from-scratch histogram forest
+    must land in the same accuracy class as the linear/GBT members."""
+    from entity_resolution__ray.stages.classifier import train_pairwise_matcher
+
+    tm = train_pairwise_matcher(
+        full_run["X"], full_run["y"], model_name="rf",
+        gbt_params={"n_estimators": 100},  # 400 in the reference config; 100 keeps CI fast
+    )
+    assert tm.metrics["oof_f1_at_best"] >= 0.80, tm.metrics["oof_f1_at_best"]
 
 
 def test_full_pipeline_clusters_agree_on_labeled_pairs(full_run, corpus):
