@@ -75,17 +75,40 @@ def edit_ratio(a: str, b: str) -> float:
 
 
 def lcs_and_edit_batch(a_list: Sequence[str], b_list: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-    """Compute lcs_ratio and edit_ratio together, sharing one LCS pass per pair."""
+    """Compute lcs_ratio and edit_ratio together, sharing one LCS pass per pair.
+
+    The per-``b`` char→bitmask table (the O(|b|) setup of the bit-parallel
+    LCS) is memoized across the batch: in blocked candidate generation every
+    doc appears in ~top-k pairs, so each table is reused many times."""
     n = len(a_list)
     lcs_out = np.empty(n, dtype=np.float64)
     edit_out = np.empty(n, dtype=np.float64)
+    mask_cache: Dict[str, Tuple[Dict[str, int], int]] = {}
     for i in range(n):
         a, b = a_list[i], b_list[i]
         if a == b:
             lcs_out[i] = 1.0
             edit_out[i] = 1.0
             continue
-        l = lcs_len(a, b)
+        nb = len(b)
+        if nb == 0 or len(a) == 0:
+            l = 0
+        else:
+            cached = mask_cache.get(b)
+            if cached is None:
+                match: Dict[str, int] = {}
+                for j, ch in enumerate(b):
+                    match[ch] = match.get(ch, 0) | (1 << j)
+                cached = (match, (1 << nb) - 1)
+                mask_cache[b] = cached
+            match, full = cached
+            s = full
+            get = match.get
+            for ch in a:
+                m = get(ch, 0)
+                u = s & m
+                s = ((s + u) | (s - u)) & full
+            l = nb - bin(s).count("1")
         mx = max(len(a), len(b))
         tot = len(a) + len(b)
         lcs_out[i] = (l / mx) if mx else 1.0
