@@ -40,6 +40,11 @@ class ERConfig:
 
     per_doc_topk: int = 40
     max_group_size: int = 256
+    # "keys" (default): token + q-gram MinHash key blocking — the 10^12-doc
+    # shuffle path. "knn": the reference's exact TF-IDF cosine kNN
+    # (run_blocking.py), distributed via an inverted index — exact but
+    # corpus-squared work; for corpora up to ~10^6 docs per shard.
+    blocking_mode: str = "keys"
     use_token_keys: bool = True
     n_qgram_bands: int = 2
     min_token_len: int = 3
@@ -151,25 +156,38 @@ def run_er_pipeline(
         normalize_docs(docs, extract_countries=need_geo), workdir, "01_normalized"
     )
 
-    # 2-3. blocking keys → candidate pairs (salted groupby shuffle + collapse)
-    stop_tokens = None
-    if cfg.blocking_stopword_df is not None and cfg.use_token_keys:
-        from ..stages.blocking import dataset_stopwords
+    # 2-3. blocking → candidate pairs
+    if cfg.blocking_mode == "knn":
+        from ..stages.blocking import knn_block_topk
 
-        stop_tokens = dataset_stopwords(norm, freq_cutoff=cfg.blocking_stopword_df)
-    keys = emit_block_keys(
-        norm,
-        min_token_len=cfg.min_token_len,
-        n_qgram_bands=cfg.n_qgram_bands,
-        use_token_keys=cfg.use_token_keys,
-        stop_tokens=stop_tokens,
-    )
-    pairs = stage(
-        candidate_pairs(
-            keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk
-        ).repartition(compute_par),
-        "02_candidate_pairs",
-    )
+        pairs = stage(
+            knn_block_topk(norm, k=cfg.per_doc_topk)
+            .map_batches(
+                lambda t: t.select(["id_left", "id_right"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .repartition(compute_par),
+            "02_candidate_pairs",
+        )
+    else:
+        stop_tokens = None
+        if cfg.blocking_stopword_df is not None and cfg.use_token_keys:
+            from ..stages.blocking import dataset_stopwords
+
+            stop_tokens = dataset_stopwords(norm, freq_cutoff=cfg.blocking_stopword_df)
+        keys = emit_block_keys(
+            norm,
+            min_token_len=cfg.min_token_len,
+            n_qgram_bands=cfg.n_qgram_bands,
+            use_token_keys=cfg.use_token_keys,
+            stop_tokens=stop_tokens,
+        )
+        pairs = stage(
+            candidate_pairs(
+                keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk
+            ).repartition(compute_par),
+            "02_candidate_pairs",
+        )
 
     # 4-5. feature kernel (8 features, actor pool)
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)

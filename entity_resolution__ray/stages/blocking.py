@@ -472,7 +472,9 @@ def knn_block_conformance(
     k_eff = max(0, min(k, n - 1))
     rows: List[Tuple[str, str, float]] = []
     for i in range(n):
-        order = np.argsort(-sims[i])
+        # deterministic (-sim, position) tie-break — shared with the
+        # distributed knn_block_topk so the two paths are comparable
+        order = np.lexsort((np.arange(n), -sims[i]))
         picked = 0
         for j in order:
             if j == i:
@@ -491,3 +493,203 @@ def knn_block_conformance(
     hi = np.maximum(df["src_id"], df["cand_id"])
     out = pd.DataFrame({"id_left": lo, "id_right": hi, "sim": df["cosine_sim"]})
     return out.groupby(["id_left", "id_right"], as_index=False)["sim"].max()
+
+
+# ---------------------------------------------------------------------------
+# T4 scale path: DISTRIBUTED exact TF-IDF cosine kNN blocking
+# ---------------------------------------------------------------------------
+def fit_blocking_tfidf_distributed(norm_docs: Dataset, text_col: str = "norm_text"):
+    """Distributed DF fit of the reference blocking TF-IDF
+    (run_blocking.py:14-26 config): per-batch partial document-frequency maps
+    in ``map_batches``, merged by a bucketed count; only the final (term, df)
+    table reaches the driver."""
+    from ..functions.vectorizer import blocking_tfidf
+
+    vec = blocking_tfidf()
+    ds = norm_docs.select_columns([text_col])
+    n = ds.count()
+    analyze = blocking_tfidf().analyze
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in batch[text_col].to_pylist():
+            for term in set(analyze(t or "")):
+                counts[term] = counts.get(term, 0) + 1
+        return pa.table({"term": pa.array(list(counts.keys()), type=pa.string()),
+                         "df": pa.array(list(counts.values()), type=pa.int64())})
+
+    partials = ds.map_batches(partial_df, batch_format="pyarrow", batch_size=4096)
+    merged = bucketed_apply(
+        partials, ["term"],
+        lambda g: g.groupby("term", as_index=False).agg(df=("df", "sum")),
+        num_buckets=32,
+    )
+    dfreq: dict = {}
+    for b in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for term, df in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+            dfreq[term] = df
+    return vec.fit_from_document_frequencies(dfreq, n)
+
+
+def _pack_inverted_index(tables: List[pa.Table]) -> dict:
+    """Corpus blocks (doc_id, idx:list<int64>, val:list<float64>) → inverted
+    index (term → postings) as flat numpy arrays + id mappings."""
+    t = pa.concat_tables(tables).combine_chunks() if tables else None
+    if t is None or t.num_rows == 0:
+        return {"n": 0}
+    # canonicalize to doc_id-sorted row order: streaming execution delivers
+    # blocks in nondeterministic order, and tie-breaks key on row position —
+    # sorting makes the index (and thus equal-sim tie winners) reproducible
+    t = t.sort_by("doc_id")
+    ids = t["doc_id"].to_pylist()
+    la_i = t["idx"].combine_chunks()
+    la_v = t["val"].combine_chunks()
+    row_ptr = la_i.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_idx = la_i.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    flat_val = la_v.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    rows = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(row_ptr))
+    # CSC: postings sorted by (term, doc row)
+    order = np.lexsort((rows, flat_idx))
+    terms_sorted = flat_idx[order]
+    n_terms = int(terms_sorted[-1]) + 1 if len(terms_sorted) else 0
+    term_ptr = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(np.bincount(terms_sorted, minlength=n_terms), out=term_ptr[1:])
+    return {
+        "n": len(ids),
+        "ids": np.asarray(ids, dtype=object),
+        "row_of": {d: i for i, d in enumerate(ids)},
+        "term_ptr": term_ptr,
+        "term_docs": rows[order].astype(np.int32),
+        "term_vals": flat_val[order].astype(np.float32),
+    }
+
+
+def knn_block_topk(
+    norm_docs: Dataset,
+    k: int = 40,
+    min_sim: Optional[float] = None,
+    text_col: str = "norm_text",
+    id_col: str = "doc_id",
+    batch_size: int = 256,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Distributed EXACT TF-IDF cosine kNN blocking — the reference's
+    run_blocking.py:28-67 semantics (self excluded, per-doc top-k, undirected
+    keep-max collapse) without the driver-side N×N matrix.
+
+    Shape: distributed DF fit → corpus transformed block-wise and packed into
+    an inverted index in a Ray task (``ray.put`` ONCE, zero-copy plasma views
+    in every scoring worker) → each scoring batch does term-at-a-time
+    accumulation (one ``bincount`` per batch) into a (B × N) score block,
+    takes its rows' top-k with a deterministic (-sim, row) tie-break → one
+    bucketed shuffle collapses to canonical undirected pairs.
+
+    Bounds: the inverted index holds corpus-nnz (int32 doc + float32 weight
+    ≈ 8 bytes/nonzero) in the object store; each worker holds B×N float64
+    scores (batch_size=256, N=10^6 → 2 GB — shrink B as N grows). Exact kNN
+    is inherently corpus-× work: beyond ~10^6 docs per shard use
+    ``candidate_pairs`` (key blocking, the 10^12 path) or IVF.
+    """
+    import ray as _ray
+
+    vec = fit_blocking_tfidf_distributed(norm_docs, text_col=text_col)
+    vec_ref = _ray.put(vec)
+
+    def to_csr_blocks(batch: pa.Table, vec_ref=vec_ref) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        v = cached_get(vec_ref)
+        ptr, idx, val = v.transform([t or "" for t in batch[text_col].to_pylist()])
+        off = ptr.astype(np.int64)
+        return pa.table({
+            "doc_id": batch[id_col],
+            "idx": pa.ListArray.from_arrays(pa.array(off, type=pa.int64()), pa.array(idx, type=pa.int64())),
+            "val": pa.ListArray.from_arrays(pa.array(off, type=pa.int64()), pa.array(val, type=pa.float64())),
+        })
+
+    refs = (
+        norm_docs.select_columns([id_col, text_col])
+        .map_batches(to_csr_blocks, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048)
+        .to_arrow_refs()
+    )
+    pack = _ray.remote(num_returns=1)(lambda *ts: _pack_inverted_index(list(ts)))
+    index_ref = pack.remote(*refs)
+    key = index_ref.hex()
+
+    def score(batch: pa.Table, index_ref=index_ref, vec_ref=vec_ref, key=key) -> pa.Table:
+        from ..state.worker_cache import cached_build, cached_get
+
+        index = cached_build(f"knn_index:{key}", lambda: _ray.get(index_ref))
+        n = index["n"]
+        if n == 0 or batch.num_rows == 0:
+            return pa.table({"src_id": pa.array([], type=pa.string()),
+                             "cand_id": pa.array([], type=pa.string()),
+                             "sim": pa.array([], type=pa.float64())})
+        v = cached_get(vec_ref)
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        src_ids = batch[id_col].to_pylist()
+        q_ptr, q_idx, q_val = v.transform(texts)
+        B = len(texts)
+        term_ptr, term_docs, term_vals = index["term_ptr"], index["term_docs"], index["term_vals"]
+        qrow = np.repeat(np.arange(B, dtype=np.int64), np.diff(q_ptr))
+        # terms beyond the index's max seen term have no postings
+        n_terms = len(term_ptr) - 1
+        in_vocab = q_idx < n_terms
+        if not in_vocab.all():
+            q_idx, q_val, qrow = q_idx[in_vocab], q_val[in_vocab], qrow[in_vocab]
+        plen = term_ptr[q_idx + 1] - term_ptr[q_idx]
+        total = int(plen.sum())
+        scores = np.zeros(B * n, dtype=np.float64)
+        if total:
+            out_off = np.zeros(len(plen) + 1, dtype=np.int64)
+            np.cumsum(plen, out=out_off[1:])
+            gather = np.repeat(term_ptr[q_idx], plen) + (np.arange(total, dtype=np.int64)
+                                                         - np.repeat(out_off[:-1], plen))
+            docs = term_docs[gather].astype(np.int64)
+            contrib = term_vals[gather].astype(np.float64) * np.repeat(q_val, plen)
+            flat = np.repeat(qrow, plen) * n + docs
+            scores = np.bincount(flat, weights=contrib, minlength=B * n)
+        S = scores.reshape(B, n)
+        row_of = index["row_of"]
+        for i, d in enumerate(src_ids):
+            r = row_of.get(d)
+            if r is not None:
+                S[i, r] = -np.inf
+        k_eff = max(0, min(k, n - 1))
+        if k_eff == 0:
+            return pa.table({"src_id": pa.array([], type=pa.string()),
+                             "cand_id": pa.array([], type=pa.string()),
+                             "sim": pa.array([], type=pa.float64())})
+        # full (-sim, row) sort BEFORE truncation: argpartition alone keeps
+        # an arbitrary subset of an equal-sim group straddling the k
+        # boundary (duplicate docs tie exactly), breaking determinism
+        order = np.lexsort((np.broadcast_to(np.arange(n), S.shape), -S))
+        sel = order[:, :k_eff]
+        sel_s = np.take_along_axis(S, sel, axis=1)
+        src = np.repeat(np.asarray(src_ids, dtype=object), k_eff)
+        cand = index["ids"][sel.ravel()]
+        sims = sel_s.ravel()
+        keep = np.isfinite(sims)
+        if min_sim is not None:
+            keep &= sims >= min_sim
+        return pa.table({
+            "src_id": pa.array(src[keep].tolist(), type=pa.string()),
+            "cand_id": pa.array(cand[keep].tolist(), type=pa.string()),
+            "sim": pa.array(sims[keep], type=pa.float64()),
+        })
+
+    directed = norm_docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+    def canonical(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src_id"], t["cand_id"])
+        hi = pc.max_element_wise(t["src_id"], t["cand_id"])
+        return pa.table({"id_left": lo, "id_right": hi, "sim": t["sim"]})
+
+    pairs = directed.map_batches(canonical, batch_format="pyarrow", zero_copy_batch=True)
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_left", "id_right"], as_index=False)["sim"].max()
+
+    return bucketed_apply(pairs, ["id_left", "id_right"], collapse, num_buckets=num_buckets)

@@ -128,3 +128,58 @@ def test_knn_conformance_mode_matches_reference_shape():
     assert not out.duplicated(["id_left", "id_right"]).any()
     # k bounds directed fan-out: ≤ n*k undirected pairs
     assert len(out) <= len(ids) * 5
+
+
+def test_knn_block_topk_matches_conformance(ray_session):
+    """The distributed exact-kNN blocking (inverted index + term-at-a-time
+    scoring) reproduces the driver-side conformance implementation. min_sim
+    excludes zero-similarity neighbors, whose pick order is arbitrary in
+    both implementations."""
+    from entity_resolution__ray.stages.blocking import knn_block_topk
+
+    norm, _, _ = _norm_docs_table(n_entities=25, seed=7)
+    ids = norm["doc_id"].to_pylist()
+    # conformance mode fits on full_text; feed the same column
+    texts = norm["full_text"].to_pylist()
+    want = (
+        knn_block_conformance(ids, texts, k=5, min_sim=1e-9)
+        .sort_values(["id_left", "id_right"]).reset_index(drop=True)
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "norm_text": texts}))
+    got = (
+        knn_block_topk(ds, k=5, min_sim=1e-9, batch_size=16)
+        .to_pandas().sort_values(["id_left", "id_right"]).reset_index(drop=True)
+    )
+    # term-at-a-time accumulation differs from the dense matmul by ~1e-8,
+    # which can swap EQUAL-sim candidates at the k boundary (the fixture has
+    # exact duplicate texts). Compare tie-aware: large overlap, matched sims
+    # bit-close, and every disagreement explained by an equal-sim swap.
+    m = want.merge(got, on=["id_left", "id_right"], how="outer",
+                   suffixes=("_w", "_g"), indicator=True)
+    both = m[m["_merge"] == "both"]
+    assert len(both) >= 0.98 * len(want)
+    np.testing.assert_allclose(both["sim_w"].to_numpy(), both["sim_g"].to_numpy(), atol=1e-6)
+    only_w = sorted(m.loc[m["_merge"] == "left_only", "sim_w"].round(6).tolist())
+    only_g = sorted(m.loc[m["_merge"] == "right_only", "sim_g"].round(6).tolist())
+    assert only_w == only_g  # each miss is a same-similarity swap, not a loss
+
+
+def test_pipeline_knn_blocking_mode(ray_session):
+    """blocking_mode="knn" runs the reference's exact kNN blocking inside the
+    full pipeline and recovers the golden duplicate pairs."""
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
+
+    docs, clusters, golden = generate_corpus(n_entities=20, seed=11)
+    out = run_er_pipeline(
+        rd.from_arrow(docs),
+        labeled_pairs=golden,
+        config=ERConfig(blocking_mode="knn", per_doc_topk=40, use_geo=False,
+                        run_cohort_transitivity=False, num_partitions=4),
+    )
+    pairs = out["candidate_pairs"].to_pandas()
+    got = set(zip(pairs["id_left"], pairs["id_right"]))
+    g = golden.to_pandas()
+    pos = set(zip(g.loc[g["label"] == 1, "id_left"], g.loc[g["label"] == 1, "id_right"]))
+    recall = len(got & pos) / max(len(pos), 1)
+    assert recall >= 0.9, recall
+    assert out["clusters_cc"].count() > 0
