@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_connected_components": _q_connected_components,
         # --- windowed aggregate over the events stream table ---------------
         "w1_tumbling_window": _q_tumbling_window,
+        "w2_session_window": _q_session_window,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,      # no SQL oracle (LSH)
@@ -342,6 +343,13 @@ def _q_tumbling_window(sf_dir: str):
         return out[["user_id", "window_start", "n_events", "sum_value"]]
 
     return bucketed_apply(windowed, ["user_id", "window_start"], agg, num_buckets=32)
+
+
+def _q_session_window(sf_dir: str):
+    from entity_resolution__ray.stages.windows import session_windows
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return session_windows(ev, gap_us=1_800_000_000)
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -607,6 +615,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(c.doc_id AS VARCHAR) AS node_id, i.cluster_id, c.csize AS cluster_size
             FROM comp c JOIN ids i ON c.root = i.root
             WHERE c.csize >= 2
+        """,
+        "w2_session_window": """
+            WITH e AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value FROM events
+            ), g AS (
+              SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), s AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "w1_tumbling_window": """
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,

@@ -208,3 +208,27 @@ def test_full_pipeline_clusters_agree_on_labeled_pairs(full_run, corpus):
     sp_ref = _same_pairs(refcl) & corpus["mset"]
     f1, p, r = _f1(sp_ours, sp_ref)
     assert f1 >= 0.97, (f1, p, r)
+
+
+def test_distributed_knn_blocking_matches_conformance_on_real_corpus(ray_session, corpus):
+    """The distributed inverted-index kNN (the path a cluster would run)
+    reproduces the driver-side conformance blocking on the reference's real
+    2,260-record corpus at its k=40: same candidate pairs up to equal-sim
+    swaps at the k boundary."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution__ray.functions.text_norm import norm_text_array
+    from entity_resolution__ray.stages.blocking import knn_block_conformance, knn_block_topk
+
+    doc_ids, texts = corpus["doc_ids"], corpus["texts"]
+    norm = norm_text_array(pa.array(texts)).to_pylist()
+    want = knn_block_conformance(doc_ids, norm, k=40, min_sim=1e-9)
+    ds = rd.from_arrow(pa.table({"doc_id": doc_ids, "norm_text": norm}))
+    got = knn_block_topk(ds, k=40, min_sim=1e-9).to_pandas()
+
+    m = want.merge(got, on=["id_left", "id_right"], how="outer",
+                   suffixes=("_w", "_g"), indicator=True)
+    both = m[m["_merge"] == "both"]
+    assert len(both) >= 0.99 * len(want), (len(both), len(want))
+    np.testing.assert_allclose(both["sim_w"].to_numpy(), both["sim_g"].to_numpy(), atol=1e-6)
