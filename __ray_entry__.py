@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "fingerprint_md5": _q_fingerprint,
         "lang_id": _q_lang_id,                      # heuristic → no SQL oracle
+        # --- curation ------------------------------------------------------
+        "cur_stratified_sample": _q_stratified_sample,
+        "cur_canonical_docs": _q_canonical_docs,
+        "cur_lang_rollup": _q_lang_rollup,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -343,6 +347,27 @@ def _q_tumbling_window(sf_dir: str):
         return out[["user_id", "window_start", "n_events", "sum_value"]]
 
     return bucketed_apply(windowed, ["user_id", "window_start"], agg, num_buckets=32)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from entity_resolution__ray.stages.curation import stratified_sample
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_sample(ds, key_col="source", n_per_key=25)
+
+
+def _q_canonical_docs(sf_dir: str):
+    from entity_resolution__ray.stages.curation import canonical_docs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return canonical_docs(ds).select_columns(["doc_id"])
+
+
+def _q_lang_rollup(sf_dir: str):
+    from entity_resolution__ray.stages.curation import group_rollup
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+    return group_rollup(ds, key_col="lang")
 
 
 def _q_session_window(sf_dir: str):
@@ -615,6 +640,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(c.doc_id AS VARCHAR) AS node_id, i.cluster_id, c.csize AS cluster_size
             FROM comp c JOIN ids i ON c.root = i.root
             WHERE c.csize >= 2
+        """,
+        "cur_stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 25
+        """,
+        "cur_canonical_docs": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents
+            ) WHERE rk = 1
+        """,
+        "cur_lang_rollup": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS total_ws_tokens
+            FROM documents GROUP BY lang
         """,
         "w2_session_window": """
             WITH e AS (

@@ -1,0 +1,48 @@
+"""Curation operators: stratified sampling, canonical-doc dedup, rollups."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from entity_resolution__ray.stages.curation import canonical_docs, group_rollup, stratified_sample
+
+
+def _docs():
+    rows = [
+        (1, "alpha beta", "en", "web", 10),
+        (2, "alpha beta", "en", "web", 10),      # exact dup of 1, same length → keep id 1
+        (3, "alpha beta gamma", "en", "web", 16),
+        (4, "x", "de", "book", 1),
+        (5, "", "de", "book", 0),
+        (6, "alpha beta", "en", "book", 10),     # dup of 1 (cross-source)
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": [r[2] for r in rows],
+        "source": [r[3] for r in rows],
+        "n_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+    }))
+
+
+def test_canonical_docs_keeps_longest_then_lowest_id(ray_session):
+    out = canonical_docs(_docs()).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 4, 5]  # 2 and 6 fold into 1
+
+
+def test_stratified_sample_bounds_and_determinism(ray_session):
+    ds = _docs()
+    s1 = stratified_sample(ds, key_col="source", n_per_key=2).to_pandas()
+    s2 = stratified_sample(ds, key_col="source", n_per_key=2).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    assert (s1.groupby("source")["doc_id"].count() <= 2).all()
+    # full strata kept when smaller than n
+    assert (s1["source"] == "book").sum() == 2
+
+
+def test_group_rollup(ray_session):
+    out = group_rollup(_docs(), key_col="lang").to_pandas().set_index("lang")
+    assert out.loc["en", "n_docs"] == 4
+    assert out.loc["en", "total_ws_tokens"] == 2 + 2 + 3 + 2
+    assert out.loc["de", "total_chars"] == 1
