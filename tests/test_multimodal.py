@@ -37,9 +37,12 @@ def test_decode_media_fake_mode(ray_session):
     assert m1 == m2
 
 
-def test_decode_media_real_mode_raises():
+def test_decode_media_real_mode_gates_per_format():
+    # real mode constructs fine (PPM images decode for real); non-PPM
+    # payloads raise because their decoders aren't in this container
+    dm = DecodeMedia(mode="real")
     with pytest.raises(NotImplementedError):
-        DecodeMedia(mode="real")
+        dm._real_features(b"RIFF....WAVE")
 
 
 def test_resize_stub(ray_session):
@@ -57,3 +60,61 @@ def test_frame_sample_stub(ray_session):
     vids = src[src["kind"] == "video"]
     expected = int(sum(-(-max(d, 1) // 10_000) for d in vids["duration_ms"]))
     assert len(frames) == expected
+
+
+def test_ppm_codec_roundtrip():
+    from entity_resolution__ray.stages.multimodal import decode_ppm, encode_ppm, resize_nearest
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    # header comments are skipped
+    with_comment = b"P6\n# a comment\n13 9\n255\n" + arr.tobytes()
+    assert (decode_ppm(with_comment) == arr).all()
+    out = resize_nearest(arr, 4, 6)
+    assert out.shape == (6, 4, 3)
+    # constant image stays constant under resize
+    const = np.full((5, 5, 3), 77, dtype=np.uint8)
+    assert (resize_nearest(const, 9, 2) == 77).all()
+
+
+def test_real_decode_ppm_images(ray_session):
+    from entity_resolution__ray.stages.multimodal import decode_media, synth_media_table
+
+    import pyarrow.compute as pc2
+    import ray.data as rd2
+
+    media = rd2.from_arrow(synth_media_table(24))
+    images = media.map_batches(
+        lambda t: t.filter(pc2.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = decode_media(images, mode="real").to_pandas()
+    assert len(out) == 8
+    feats = np.array(out["features"].tolist())
+    assert feats.shape == (8, 8)
+    assert np.isfinite(feats).all()
+    # mean channels of uniform-random pixels land near 0.5
+    assert 0.3 < feats[:, 0].mean() < 0.7
+
+
+def test_real_decode_raises_for_audio(ray_session):
+    from entity_resolution__ray.stages.multimodal import DecodeMedia
+
+    dm = DecodeMedia(mode="real")
+    with pytest.raises(NotImplementedError):
+        dm._real_features(b"\x00\x01\x02")
+
+
+def test_resize_stage_rewrites_ppm_payload(ray_session):
+    from entity_resolution__ray.stages.multimodal import (
+        ResizeImageStub,
+        decode_ppm,
+        synth_media_table,
+    )
+
+    t = synth_media_table(6)
+    out = ResizeImageStub(target_w=10, target_h=7)(t)
+    for p, k in zip(out["payload"].to_pylist(), out["kind"].to_pylist()):
+        if k == "image":
+            assert decode_ppm(p).shape == (7, 10, 3)
+    assert set(out["width"].to_pylist()) == {10}
