@@ -311,6 +311,149 @@ class JaccardVerify:
         )
 
 
+def _gram_store_from_refs(refs):
+    """Worker-side decode of broadcast gram-set blocks → (id index, flat
+    uint64 values, int64 offsets). Built once per worker via cached_build."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(list(refs))).combine_chunks()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    col = tbl["grams"].combine_chunks()
+    # .copy(): move the buffers out of plasma-mmap'd memory into worker heap.
+    # The verifier gathers RANDOMLY from these arrays; first-touch page faults
+    # on the mmap under full-node concurrency cost ~77s/worker (measured at
+    # 50k docs × 32 workers) vs ~0.1s for this sequential copy.
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False).copy()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False).copy()
+    return pd.Index(ids.copy()), values, offs
+
+
+def build_gram_set_refs(ds: Dataset, text_col: str, id_col: str, shingle: str):
+    """One pass over docs → per-doc DEDUPED, SORTED shingle-hash sets as
+    Arrow block refs (doc_id, grams:large_list<uint64>). Each text is hashed
+    exactly once here, instead of once per candidate pair in the verifier
+    (docs average tens of pairs each under LSH, so this is the difference
+    between O(corpus) and O(pairs) hashing work)."""
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        gh, counts = shingle_hashes_batch(t[text_col], shingle)
+        _, uh, uc = _unique_per_row(gh, counts)
+        offs = np.zeros(len(uc) + 1, dtype=np.int64)
+        np.cumsum(uc, out=offs[1:])
+        grams = pa.LargeListArray.from_arrays(pa.array(offs), pa.array(uh, type=pa.uint64()))
+        return pa.table({"doc_id": t[id_col], "grams": grams})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+
+
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# Per-worker reusable scratch matrices, keyed by size-class bound. Fresh
+# large allocations are pathologically slow on this platform when 32 tasks
+# fault pages concurrently (measured: np.full of 120 MiB = 20-40s inside a
+# full-node wave vs ~50ms solo), so each worker allocates one ~16 MiB buffer
+# per class ONCE and recycles its pages across every verify call.
+_TARGET_CELLS = 1 << 21
+_SCRATCH: dict = {}
+
+
+def _scratch(class_bound: int) -> np.ndarray:
+    buf = _SCRATCH.get(class_bound)
+    if buf is None:
+        rows = max(1, _TARGET_CELLS // class_bound)
+        buf = np.empty((rows, class_bound), dtype=np.uint64)
+        _SCRATCH[class_bound] = buf
+    return buf
+
+
+def _intersect_sorted_sets(values: np.ndarray, offs: np.ndarray,
+                           ia: np.ndarray, ib: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """|A∩B|, |A|, |B| for index pairs into a flat sorted-set store,
+    vectorized. Pairs are padded into a (chunk, W) scratch matrix per size
+    class and row-sorted; adjacent equal non-sentinel values count the
+    intersection (each side is a set, so a value repeats at most twice per
+    row). Size classes bound the padding waste, the fixed scratch bounds
+    per-call allocation; rows over the largest class fall back to per-row
+    np.intersect1d (rare giants)."""
+    wa = np.where(ia >= 0, offs[ia + 1] - offs[ia], 0).astype(np.int64)
+    wb = np.where(ib >= 0, offs[ib + 1] - offs[ib], 0).astype(np.int64)
+    tot = wa + wb
+    inter = np.zeros(len(ia), dtype=np.int64)
+    starts_a = np.where(ia >= 0, offs[np.maximum(ia, 0)], 0)
+    starts_b = np.where(ib >= 0, offs[np.maximum(ib, 0)], 0)
+
+    def fill(M, widths, starts, col_off):
+        total = int(widths.sum())
+        if total == 0:
+            return
+        rows = np.repeat(np.arange(len(widths), dtype=np.int64), widths)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(widths) - widths, widths)
+        M[rows, col_off[rows] + within] = values[np.repeat(starts, widths) + within]
+
+    bounds = (64, 256, 1024, 4096, 16384)
+    lo = 0
+    for hi in bounds + (None,):
+        mask = (tot > lo) & (tot <= hi) if hi is not None else tot > lo
+        lo = hi if hi is not None else lo
+        sel = np.nonzero(mask)[0]
+        if len(sel) == 0:
+            continue
+        if hi is None:
+            for r in sel:  # pathological giants — per-row exact intersect
+                a = values[starts_a[r]: starts_a[r] + wa[r]]
+                b = values[starts_b[r]: starts_b[r] + wb[r]]
+                inter[r] = len(np.intersect1d(a, b, assume_unique=True))
+            continue
+        buf = _scratch(hi)
+        chunk = buf.shape[0]
+        for i in range(0, len(sel), chunk):
+            s = sel[i: i + chunk]
+            W = int(tot[s].max())
+            M = buf[: len(s), :W]
+            M[...] = _SENTINEL
+            zeros = np.zeros(len(s), dtype=np.int64)
+            fill(M, wa[s], starts_a[s], zeros)
+            fill(M, wb[s], starts_b[s], wa[s])
+            M.sort(axis=1)
+            eq = (M[:, 1:] == M[:, :-1]) & (M[:, 1:] != _SENTINEL)
+            inter[s] = eq.sum(axis=1)
+    return inter, wa, wb
+
+
+class GramSetVerify:
+    """Batch fn over candidate (id_left, id_right) pairs → + jaccard, via a
+    per-worker broadcast store of pre-hashed per-doc shingle sets. Exact
+    (same hash-collision caveat as JaccardVerify) but never re-hashes text:
+    per pair it is one gather + one bounded row-sort. Broadcast-path only —
+    the store must fit in worker heap; the join path keeps text-based
+    verification for beyond-object-store corpora."""
+
+    def __init__(self, refs, key: str):
+        self.refs = refs
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("jaccard", pa.array([], type=pa.float64()))
+        from ..state.worker_cache import cached_build
+
+        index, values, offs = cached_build(
+            f"gramstore:{self.key}", lambda: _gram_store_from_refs(self.refs)
+        )
+        ia = index.get_indexer(batch["id_left"].to_numpy(zero_copy_only=False))
+        ib = index.get_indexer(batch["id_right"].to_numpy(zero_copy_only=False))
+        inter, na, nb = _intersect_sorted_sets(values, offs, ia, ib)
+        union = na + nb - inter
+        jac = np.where(
+            (na == 0) & (nb == 0), 1.0,
+            np.where((na == 0) | (nb == 0), 0.0, inter / np.maximum(union, 1)),
+        )
+        return batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+
+
 def near_dup_clusters(
     ds: Dataset,
     candidates: Dataset,
@@ -323,18 +466,28 @@ def near_dup_clusters(
 ) -> Dataset:
     """Verify candidates by exact shingle-Jaccard ≥ threshold, close
     transitively, and emit (doc_id, dup_group, group_size); dup_group = min
-    doc id of the near-dup cluster. ``attach_mode="join"`` is the
-    beyond-object-store path (distributed join instead of broadcast)."""
-    from .joins import attach_doc_columns
+    doc id of the near-dup cluster. ``attach_mode="broadcast"`` verifies
+    against a per-worker store of pre-hashed doc shingle sets (each doc
+    hashed once, not once per pair); ``attach_mode="join"`` is the
+    beyond-object-store path (texts ride with pairs via distributed join)."""
+    if attach_mode == "broadcast":
+        refs = build_gram_set_refs(ds, text_col=text_col, id_col=id_col, shingle=shingle)
+        key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{shingle}"
+        verifier = GramSetVerify(refs, key)
+        verified = candidates.map_batches(
+            lambda t, v=verifier: v(t), batch_format="pyarrow", zero_copy_batch=True,
+        ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
+    else:
+        from .joins import attach_doc_columns
 
-    docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
-    with_texts = attach_doc_columns(
-        candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode
-    )
-    verifier = JaccardVerify(shingle=shingle)
-    verified = with_texts.map_batches(
-        lambda t, v=verifier: v(t), batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
+        docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
+        with_texts = attach_doc_columns(
+            candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode
+        )
+        verifier = JaccardVerify(shingle=shingle)
+        verified = with_texts.map_batches(
+            lambda t, v=verifier: v(t), batch_format="pyarrow", zero_copy_batch=True,
+        ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
     # CC operates on string node ids (its min-label sentinel is a string);
     # numeric ids are zero-padded so lexicographic order == numeric order,
     # then cast back on the way out.
