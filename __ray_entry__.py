@@ -658,7 +658,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk = 1
         """,
         "cur_lang_rollup": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                    sum(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS total_ws_tokens
             FROM documents GROUP BY lang
@@ -672,8 +672,8 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS new_sess
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
             ), s AS (
-              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, min(ts_us) AS session_start_us,
