@@ -74,45 +74,96 @@ def edit_ratio(a: str, b: str) -> float:
     return (2.0 * lcs_len(a, b) / tot) if tot else 1.0
 
 
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _lcs_lens_matrix(a_sub: Sequence[str], b_sub: Sequence[str]) -> np.ndarray:
+    """Bit-parallel LCS lengths for a batch of pairs, vectorized ACROSS pairs.
+
+    The classic Hyyrö/Allison-Dix bitset recurrence — s = ((s+u) | (s-u)) &
+    full with u = s & match-mask — runs with every pair's state held in a
+    (n, W) uint64 matrix (W = words per row). Per a-position the match mask
+    comes from one (n, Lb) codepoint compare + packbits; the + carries
+    propagate word-to-word, the - never borrows because u ⊆ s word-wise."""
+    n = len(a_sub)
+    la = np.fromiter((len(s) for s in a_sub), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_sub), dtype=np.int64, count=n)
+    La = int(la.max(initial=1))
+    Lb = int(lb.max(initial=1))
+    A = np.zeros((n, max(La, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(Lb, 1)), dtype=np.uint32)
+    A[:] = np.array(list(a_sub), dtype=f"U{max(La,1)}").view(np.uint32).reshape(n, -1)
+    B[:] = np.array(list(b_sub), dtype=f"U{max(Lb,1)}").view(np.uint32).reshape(n, -1)
+    W = (Lb + 63) // 64
+    # full = (1 << lb) - 1 laid out little-endian across W words
+    bitpos = np.arange(W * 64, dtype=np.int64)
+    full = np.packbits(
+        bitpos[None, :] < lb[:, None], axis=1, bitorder="little"
+    ).reshape(n, W, 8).copy().view(np.uint64).reshape(n, W)
+    s = full.copy()
+    pad = W * 8 - ((Lb + 7) // 8)
+    bvalid = B != 0  # 0 is the pad codepoint; NUL can't occur in input text
+    for i in range(La):
+        active = i < la
+        if not active.any():
+            break
+        eq = (B == A[:, i: i + 1]) & bvalid
+        mb = np.packbits(eq, axis=1, bitorder="little")
+        if pad:
+            mb = np.concatenate([mb, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+        m = mb.reshape(n, W, 8).copy().view(np.uint64).reshape(n, W)
+        u = s & m
+        add = np.empty_like(s)
+        carry = np.zeros(n, dtype=np.uint64)
+        for w in range(W):
+            t = s[:, w] + u[:, w]
+            c1 = t < s[:, w]
+            t2 = t + carry
+            c2 = t2 < t
+            add[:, w] = t2
+            carry = (c1 | c2).astype(np.uint64)
+        new_s = (add | (s - u)) & full
+        s = np.where(active[:, None], new_s, s)
+    ones = _POPCNT8[s.view(np.uint8).reshape(n, -1)].sum(axis=1)
+    return lb - ones
+
+
 def lcs_and_edit_batch(a_list: Sequence[str], b_list: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Compute lcs_ratio and edit_ratio together, sharing one LCS pass per pair.
 
-    The per-``b`` char→bitmask table (the O(|b|) setup of the bit-parallel
-    LCS) is memoized across the batch: in blocked candidate generation every
-    doc appears in ~top-k pairs, so each table is reused many times."""
+    Pairs of bounded length run through the across-pairs vectorized bitset
+    kernel (:func:`_lcs_lens_matrix`); oversized strings fall back to the
+    per-pair Python bitset loop. Equal pairs short-circuit to 1.0."""
     n = len(a_list)
-    lcs_out = np.empty(n, dtype=np.float64)
-    edit_out = np.empty(n, dtype=np.float64)
-    mask_cache: Dict[str, Tuple[Dict[str, int], int]] = {}
+    lcs_out = np.ones(n, dtype=np.float64)
+    edit_out = np.ones(n, dtype=np.float64)
+    vec_idx: list = []
+    loop_idx: list = []
     for i in range(n):
         a, b = a_list[i], b_list[i]
         if a == b:
-            lcs_out[i] = 1.0
-            edit_out[i] = 1.0
             continue
-        nb = len(b)
-        if nb == 0 or len(a) == 0:
-            l = 0
+        if not a or not b:
+            la_, lb_ = len(a), len(b)
+            mx = max(la_, lb_)
+            lcs_out[i] = 0.0 if mx else 1.0
+            edit_out[i] = 0.0 if (la_ + lb_) else 1.0
+            continue
+        if len(a) <= 256 and len(b) <= 256:
+            vec_idx.append(i)
         else:
-            cached = mask_cache.get(b)
-            if cached is None:
-                match: Dict[str, int] = {}
-                for j, ch in enumerate(b):
-                    match[ch] = match.get(ch, 0) | (1 << j)
-                cached = (match, (1 << nb) - 1)
-                mask_cache[b] = cached
-            match, full = cached
-            s = full
-            get = match.get
-            for ch in a:
-                m = get(ch, 0)
-                u = s & m
-                s = ((s + u) | (s - u)) & full
-            l = nb - bin(s).count("1")
-        mx = max(len(a), len(b))
-        tot = len(a) + len(b)
-        lcs_out[i] = (l / mx) if mx else 1.0
-        edit_out[i] = (2.0 * l / tot) if tot else 1.0
+            loop_idx.append(i)
+    if vec_idx:
+        ls = _lcs_lens_matrix([a_list[i] for i in vec_idx], [b_list[i] for i in vec_idx])
+        for k, i in enumerate(vec_idx):
+            a, b = a_list[i], b_list[i]
+            lcs_out[i] = ls[k] / max(len(a), len(b))
+            edit_out[i] = 2.0 * ls[k] / (len(a) + len(b))
+    for i in loop_idx:
+        a, b = a_list[i], b_list[i]
+        l = lcs_len(a, b)
+        lcs_out[i] = l / max(len(a), len(b))
+        edit_out[i] = 2.0 * l / (len(a) + len(b))
     return lcs_out, edit_out
 
 

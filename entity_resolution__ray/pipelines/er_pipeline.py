@@ -184,7 +184,10 @@ def run_er_pipeline(
         )
         pairs = stage(
             candidate_pairs(
-                keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk
+                keys, max_group_size=cfg.max_group_size, per_doc_topk=cfg.per_doc_topk,
+                # keys = map_batches over the materialized compute_par-wide
+                # norm — already cluster-wide, skip the widening repartition
+                repartition=False,
             ).repartition(compute_par),
             "02_candidate_pairs",
         )

@@ -335,9 +335,14 @@ def bucketed_group_apply(
     key_col: str,
     per_key_fn,
     num_buckets: int = 64,
+    repartition: Optional[bool] = None,
 ) -> Dataset:
     """groupby(key).map_groups with per-KEY Ray overhead amortized: one
-    bucketed shuffle, pandas sub-groupby + per-key fn inside each bucket."""
+    bucketed shuffle, pandas sub-groupby + per-key fn inside each bucket.
+    ``repartition=False`` skips the parallelism-widening repartition — pass
+    it when the input is KNOWN to be at least cluster-wide already (the
+    groupby shuffles by bucket id regardless, so the extra pass buys
+    nothing)."""
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         outs = [per_key_fn(sub) for _, sub in g.groupby(key_col, sort=False)]
@@ -346,7 +351,8 @@ def bucketed_group_apply(
             return per_key_fn(g.head(0))
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_apply(ds, [key_col], bucket_fn, num_buckets=num_buckets)
+    return bucketed_apply(ds, [key_col], bucket_fn, num_buckets=num_buckets,
+                          repartition=repartition)
 
 
 def candidate_pairs(
@@ -354,15 +360,18 @@ def candidate_pairs(
     max_group_size: int = 256,
     per_doc_topk: int = 40,
     num_buckets: int = 64,
+    repartition: Optional[bool] = None,
 ) -> Dataset:
     """block-key rows → canonical candidate pairs, undirected-collapsed.
 
     Two shuffles: bucketed groupby(block_key) for pair emission, groupby(pair)
     for the keep-max collapse (A1). The collapse keeps max sim across
     co-occurring blocks and the lexicographically-min block_key as the pair's
-    representative key (deterministic)."""
+    representative key (deterministic). ``repartition=False``: see
+    :func:`bucketed_group_apply` — pass when ``block_keys`` is already wide."""
     emitter = PairEmitter(max_group_size=max_group_size, per_doc_topk=per_doc_topk)
-    pairs = bucketed_group_apply(block_keys, "block_key", emitter, num_buckets=num_buckets)
+    pairs = bucketed_group_apply(block_keys, "block_key", emitter,
+                                 num_buckets=num_buckets, repartition=repartition)
 
     def collapse(g: pa.Table) -> pa.Table:
         out = g.group_by(["id_left", "id_right"]).aggregate(

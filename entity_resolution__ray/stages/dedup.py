@@ -216,7 +216,8 @@ def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset
 
     from .blocking import bucketed_apply, bucketed_group_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
+                                 repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.drop_duplicates(["id_left", "id_right"]),
@@ -637,7 +638,8 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
 
     from .blocking import bucketed_apply, bucketed_group_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
+                                 repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(hamming=("hamming", "min")),
@@ -729,7 +731,8 @@ def embedding_near_dup(
 
     from .blocking import bucketed_apply, bucketed_group_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64)
+    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
+                                 repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(cosine=("cosine", "max")),

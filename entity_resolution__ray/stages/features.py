@@ -409,11 +409,12 @@ def pair_features_broadcast(
     norm_docs: Dataset,
     vec_word: Vectorizer,
     vec_char: Vectorizer,
-    # ~512 pairs × ~2k gathered nonzeros/pair keeps every kernel buffer in
+    # ~1k pairs × ~2k gathered nonzeros/pair keeps every kernel buffer in
     # the tens-of-MB range, where the allocator reuses arenas — large
     # batches page-fault 100MB+ temporaries per numpy op and run ~7× slower
-    # under full-cluster parallelism (measured)
-    batch_size: int = 512,
+    # under full-cluster parallelism (measured: 512→29.5s, 1024→26.9s,
+    # 2048→36.2s for 3.03M pairs at 32 CPUs)
+    batch_size: int = 1024,
     concurrency=None,
     max_strlen: int = 128,
 ) -> Dataset:
