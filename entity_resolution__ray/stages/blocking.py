@@ -377,10 +377,17 @@ def candidate_pairs(
         out = g.group_by(["id_left", "id_right"]).aggregate(
             [("sim", "max"), ("block_key", "min")]
         )
-        return out.rename_columns(["id_left", "id_right", "sim", "block_key"])
+        out = out.rename_columns(["id_left", "id_right", "sim", "block_key"])
+        # sorted output gives the downstream scorer id_left LOCALITY: a
+        # scoring batch sees ~batch/topk distinct left docs, so doc-side
+        # gathers from the bundle store drop ~k× on that side
+        return out.sort_by([("id_left", "ascending"), ("id_right", "ascending")])
 
+    # bucket by id_left ONLY (all copies of a pair share id_left, so the
+    # keep-max collapse stays exact) — co-locating each left doc's pairs is
+    # what makes the sort above effective across block boundaries
     return bucketed_apply(
-        pairs, ["id_left", "id_right"], collapse, num_buckets=num_buckets,
+        pairs, ["id_left"], collapse, num_buckets=num_buckets,
         batch_format="pyarrow",
         repartition=False,  # input is the emit stage's num_buckets-wide output
     )

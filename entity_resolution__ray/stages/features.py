@@ -366,22 +366,43 @@ class _BundleStore:
         return [str(mv[off[r]:off[r + 1]], "utf-8") for r in rows]
 
 
+def _take2(csr3, rows: np.ndarray):
+    """CSR row gather via the batch's UNIQUE rows: gather from the big store
+    once per distinct doc, then fan out from the small cache-resident CSR.
+    Pays off because candidate pairs arrive sorted by id_left (see
+    blocking.candidate_pairs) — a batch holds ~batch/topk distinct left
+    docs, so store traffic on that side drops ~topk×."""
+    uniq, inv = np.unique(rows, return_inverse=True)
+    if 2 * len(uniq) >= len(rows):
+        return _csr_take(*csr3, rows)
+    sub = _csr_take(*csr3, uniq)
+    return _csr_take(*sub, inv)
+
+
+def _take2_keys(indptr, indices, rows: np.ndarray):
+    uniq, inv = np.unique(rows, return_inverse=True)
+    if 2 * len(uniq) >= len(rows):
+        return _csr_take_keys(indptr, indices, rows)
+    sub_ptr, sub_idx = _csr_take_keys(indptr, indices, uniq)
+    return _csr_take_keys(sub_ptr, sub_idx, inv)
+
+
 def _features_from_store(batch: pa.Table, store: _BundleStore) -> pa.Table:
     rl = store.rows_for(batch["id_left"].to_pylist())
     rr = store.rows_for(batch["id_right"].to_pylist())
     n = len(rl)
     out: Dict[str, np.ndarray] = {}
     out["tfidf_word_cosine"] = strsim.rowwise_cosine_csr(
-        *_csr_take(*store.w, rl), *_csr_take(*store.w, rr), n, max(store.w_n, 1)
+        *_take2(store.w, rl), *_take2(store.w, rr), n, max(store.w_n, 1)
     )
     out["tfidf_char_cosine"] = strsim.rowwise_cosine_csr(
-        *_csr_take(*store.c, rl), *_csr_take(*store.c, rr), n, max(store.c_n, 1)
+        *_take2(store.c, rl), *_take2(store.c, rr), n, max(store.c_n, 1)
     )
     out["token_cosine"] = strsim.rowwise_cosine_hashed(
-        *_csr_take(*store.tc, rl), *_csr_take(*store.tc, rr), n
+        *_take2(store.tc, rl), *_take2(store.tc, rr), n
     )
-    ja_ptr, ja_keys = _csr_take_keys(store.tj[0], store.tj[1], rl)
-    jb_ptr, jb_keys = _csr_take_keys(store.tj[0], store.tj[1], rr)
+    ja_ptr, ja_keys = _take2_keys(store.tj[0], store.tj[1], rl)
+    jb_ptr, jb_keys = _take2_keys(store.tj[0], store.tj[1], rr)
     out["token_jaccard"] = strsim.rowwise_jaccard_hashed(ja_ptr, ja_keys, jb_ptr, jb_keys, n)
     out["dmetaphone_match"] = np.where(
         store.has_tok[rl] & store.has_tok[rr],
