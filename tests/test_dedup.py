@@ -82,3 +82,37 @@ def test_minhash_keys_deterministic():
     k1 = MinHashLSHKeys()(t).to_pylist()
     k2 = MinHashLSHKeys()(t).to_pylist()
     assert k1 == k2
+
+
+def test_intersect_sorted_sets_classes_and_edges():
+    """Exact |A∩B| across size classes, the giant fallback, empty sets and
+    missing (-1) indices — the verify kernel the gram-set path rides on."""
+    from entity_resolution__ray.stages.dedup import _intersect_sorted_sets
+
+    rng = np.random.RandomState(3)
+    sets = [
+        np.array([], dtype=np.uint64),                                   # empty
+        np.sort(rng.choice(2**20, 30, replace=False)).astype(np.uint64), # small
+        np.sort(rng.choice(2**20, 700, replace=False)).astype(np.uint64),# mid class
+        np.sort(rng.choice(2**22, 9000, replace=False)).astype(np.uint64),   # 16384 class
+        np.sort(rng.choice(2**24, 20000, replace=False)).astype(np.uint64),  # giant fallback
+    ]
+    values = np.concatenate(sets)
+    offs = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=offs[1:])
+
+    ia, ib = [], []
+    for i in range(len(sets)):
+        for j in range(len(sets)):
+            ia.append(i)
+            ib.append(j)
+    ia.append(-1)  # missing left
+    ib.append(2)
+    ia, ib = np.array(ia), np.array(ib)
+    inter, na, nb = _intersect_sorted_sets(values, offs, ia, ib)
+    for k in range(len(ia)):
+        a = sets[ia[k]] if ia[k] >= 0 else np.array([], dtype=np.uint64)
+        b = sets[ib[k]] if ib[k] >= 0 else np.array([], dtype=np.uint64)
+        want = len(np.intersect1d(a, b, assume_unique=True))
+        assert inter[k] == want, (k, ia[k], ib[k], inter[k], want)
+        assert na[k] == len(a) and nb[k] == len(b)
