@@ -39,15 +39,15 @@ def flatten_spans_to_text(spans: pa.ChunkedArray | pa.ListArray) -> pa.Array:
     offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
 
-    kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+    is_text = pc.fill_null(pc.equal(flat.field("kind"), "text"), False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
     span_offset = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = flat.field("text")
 
     # order within each row by the span's own offset (the declared span order)
     order = np.lexsort((span_offset, row_idx))
     row_sorted = row_idx[order]
-    kind_sorted = kind[order]
-    keep = kind_sorted == "text"
+    keep = is_text[order]
     kept_rows = row_sorted[keep]
     kept_texts = texts.take(pa.array(order[keep]))
 
