@@ -151,24 +151,6 @@ def broadcast_anti_join(ds: Dataset, keys: set, on: Sequence[str], semi: bool = 
     )
 
 
-class _AttachSides:
-    def __init__(self, table_ref, columns: Dict[str, Tuple[str, str]]):
-        tbl: pa.Table = ray.get(table_ref)
-        ids = tbl["doc_id"].to_pylist()
-        self.maps = []
-        for src_col, (left_name, right_name) in columns.items():
-            vals = tbl[src_col].to_pylist()
-            self.maps.append((dict(zip(ids, vals)), left_name, right_name, tbl.schema.field(src_col).type))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lefts = batch["id_left"].to_pylist()
-        rights = batch["id_right"].to_pylist()
-        for lk, left_name, right_name, typ in self.maps:
-            batch = batch.append_column(left_name, pa.array([lk.get(d) for d in lefts], type=typ))
-            batch = batch.append_column(right_name, pa.array([lk.get(d) for d in rights], type=typ))
-        return batch
-
-
 def attach_doc_columns(
     pairs: Dataset,
     norm_docs: Dataset,
@@ -189,24 +171,39 @@ def attach_doc_columns(
         key = refs[0].hex() if refs else "empty"
 
         def attach(batch: pa.Table, refs=refs, key=key, columns=columns) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+
             from ..state.worker_cache import cached_build
 
             cols_key = ",".join(sorted(columns))
 
             def build():
-                tbl = pa.concat_tables(ray.get(list(refs))) if refs else pa.table({"doc_id": []})
-                return [
-                    (dict(zip(tbl["doc_id"].to_pylist(), tbl[src].to_pylist())), names[0], names[1],
-                     tbl.schema.field(src).type)
-                    for src, names in columns.items()
-                ]
+                # worker store: pandas Index for vectorized id→row lookup +
+                # the doc columns kept as ARROW arrays gathered with take()
+                # (no per-row Python dict .get loops); a trailing null row is
+                # the sentinel for ids missing from the doc table
+                if refs:
+                    tbl = pa.concat_tables(ray.get(list(refs))).combine_chunks()
+                else:
+                    tbl = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                    **{c: pa.array([]) for c in columns}})
+                index = pd.Index(tbl["doc_id"].to_numpy(zero_copy_only=False))
+                cols = []
+                for src, (left_name, right_name) in columns.items():
+                    col = tbl[src].combine_chunks()
+                    col = pa.concat_arrays([col, pa.array([None], type=col.type)])
+                    cols.append((col, left_name, right_name))
+                return index, cols, len(tbl)
 
-            maps = cached_build(f"attach:{key}:{len(refs)}:{cols_key}", build)
-            lefts = batch["id_left"].to_pylist()
-            rights = batch["id_right"].to_pylist()
-            for lk, left_name, right_name, typ in maps:
-                batch = batch.append_column(left_name, pa.array([lk.get(d) for d in lefts], type=typ))
-                batch = batch.append_column(right_name, pa.array([lk.get(d) for d in rights], type=typ))
+            index, cols, n_docs = cached_build(f"attach:{key}:{len(refs)}:{cols_key}", build)
+            il = index.get_indexer(batch["id_left"].to_numpy(zero_copy_only=False))
+            ir = index.get_indexer(batch["id_right"].to_numpy(zero_copy_only=False))
+            il = pa.array(np.where(il < 0, n_docs, il))
+            ir = pa.array(np.where(ir < 0, n_docs, ir))
+            for col, left_name, right_name in cols:
+                batch = batch.append_column(left_name, col.take(il))
+                batch = batch.append_column(right_name, col.take(ir))
             return batch
 
         return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
