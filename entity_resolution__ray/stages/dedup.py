@@ -500,8 +500,10 @@ def near_dup_clusters(
 
     def to_str(t: pa.Table) -> pa.Table:
         if numeric:
-            u = pa.array([f"{v:020d}" for v in t["id_left"].to_pylist()], type=pa.string())
-            v_ = pa.array([f"{v:020d}" for v in t["id_right"].to_pylist()], type=pa.string())
+            u = pa.array(np.char.zfill(
+                t["id_left"].to_numpy(zero_copy_only=False).astype("U20"), 20))
+            v_ = pa.array(np.char.zfill(
+                t["id_right"].to_numpy(zero_copy_only=False).astype("U20"), 20))
         else:
             u = pc.cast(t["id_left"], pa.string())
             v_ = pc.cast(t["id_right"], pa.string())

@@ -136,12 +136,16 @@ def broadcast_anti_join(ds: Dataset, keys: set, on: Sequence[str], semi: bool = 
 
         def __call__(self, t: pa.Table) -> pa.Table:
             import numpy as np
+            import pandas as pd
 
-            colvals = [t[c].to_pylist() for c in cols]
             if len(cols) == 1:
-                hit = np.array([v in self.keys for v in colvals[0]], dtype=bool)
+                col = pd.Series(t[cols[0]].to_numpy(zero_copy_only=False))
+                hit = col.isin(self.keys).to_numpy(dtype=bool)
             else:
-                hit = np.array([tup in self.keys for tup in zip(*colvals)], dtype=bool)
+                idx = pd.MultiIndex.from_arrays(
+                    [t[c].to_numpy(zero_copy_only=False) for c in cols]
+                )
+                hit = idx.isin(self.keys)
             mask = hit if semi else ~hit
             return t.filter(pa.array(mask))
 
