@@ -172,8 +172,15 @@ def main():
         # and the same pipeline measures ~0.92 (both recorded in BASELINE.md)
         replicas = int(os.environ.get("GRAFT_SCALE_REPLICAS", "20"))
         scale_dir = _build_scale_corpus(sf_dir, replicas) if replicas > 1 else sf_dir
-        r_lo = _run_fresh(lo, scale_dir, queries="er_clusters")
-        r_hi = _run_fresh(hi, scale_dir, queries="er_clusters")
+        # best-of-N per leg (default 2): this host shares CPU with a co-tenant
+        # whose load comes and goes, and interference hits the wide leg
+        # hardest (it needs every core; the narrow leg rides out co-tenant
+        # bursts) — min-of-N is the standard control for that bias
+        runs = max(1, int(os.environ.get("GRAFT_SCALE_RUNS", "2")))
+        r_lo = min((_run_fresh(lo, scale_dir, queries="er_clusters") for _ in range(runs)),
+                   key=lambda r: r["value"])
+        r_hi = min((_run_fresh(hi, scale_dir, queries="er_clusters") for _ in range(runs)),
+                   key=lambda r: r["value"])
         tput_lo = r_lo["n_docs"] / r_lo["value"]
         tput_hi = r_hi["n_docs"] / r_hi["value"]
         eff = (tput_hi / tput_lo) / (hi / lo)
