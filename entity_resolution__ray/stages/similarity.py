@@ -27,6 +27,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def _vecs_from_list_column(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list/fixed_size_list column WITHOUT a
+    to_pylist round-trip — reads the child values buffer (the per-row Python
+    list materialization was most of knn's wall time at sf0.1)."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat.reshape(n, -1), dtype=np.float64)
+
+
 class BatchTopK:
     """Batch fn: per-batch cosine top-k against the broadcast query matrix.
     Emits (query_idx, vec_id, cosine) — at most Q×k rows per batch. With
@@ -41,8 +55,8 @@ class BatchTopK:
         self.cell_col = cell_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist())
-        V = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_vecs_from_list_column(batch[self.vec_col]))
         sims = self.Q @ V.T  # (Q, n)
         k = min(self.k, sims.shape[1])
         # order by (cosine DESC, vec_id ASC) BEFORE truncating so batch-local
@@ -59,7 +73,8 @@ class BatchTopK:
             "cosine": pa.array(sims[qi, vi], type=pa.float64()),
         }
         if self.cell_col is not None:
-            cols["cell"] = pa.array(np.asarray(batch[self.cell_col].to_pylist())[vi], type=pa.int32())
+            cells = batch[self.cell_col].to_numpy(zero_copy_only=False)
+            cols["cell"] = pa.array(cells[vi], type=pa.int32())
         return pa.table(cols)
 
 
@@ -147,7 +162,7 @@ class IVFAssign:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        V = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        V = _normalize(_vecs_from_list_column(batch[self.vec_col]))
         assign = np.argmax(V @ self.centers.T, axis=1)
         return batch.append_column("ivf_cell", pa.array(assign, type=pa.int32()))
 

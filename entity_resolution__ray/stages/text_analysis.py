@@ -53,8 +53,30 @@ class LanguageId:
         return best_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.classify(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        """Vectorized replica of :meth:`classify` over the batch: one regex
+        split, one ``is_in`` pass per profile, argmax with dict-order
+        tie-break (same semantics the SQL oracle replicates)."""
+        arr = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        n = len(arr)
+        if n == 0:
+            return batch.append_column("lang_pred", pa.array([], type=pa.string()))
+        cjk = pc.match_substring_regex(arr, "[一-鿿぀-ヿ]").to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z']+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        langs = list(_LANG_PROFILES)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=pa.array(sorted(_LANG_PROFILES[lang]))).to_numpy(
+                zero_copy_only=False
+            )
+            scores[:, j] = np.bincount(rows[m], minlength=n)
+        best = scores.argmax(axis=1)  # first max == profile-dict-order tie-break
+        best_score = scores[np.arange(n), best]
+        pred = np.where(best_score > 0, np.array(langs, dtype=object)[best], "und")
+        pred = np.where(cjk, "zh", pred)
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 def language_id(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
@@ -75,27 +97,34 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_chars, n_tokens (whitespace), mean_token_len, punct_ratio (of chars),
     stop_ratio (EN stopword fraction of tokens), quality_score (bounded
     combination)."""
-    texts = batch[text_col]
+    n = batch.num_rows
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
     n_chars = pc.utf8_length(texts)
-    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), pattern=r"\s+")
+    trimmed = pc.utf8_trim_whitespace(texts)
+    tokens = pc.split_pattern_regex(trimmed, pattern=r"\s+")
     n_tokens = pc.list_value_length(tokens)
-    n_tokens = pc.if_else(pc.equal(pc.utf8_trim_whitespace(texts), ""), 0, n_tokens)
+    n_tokens = pc.if_else(pc.equal(trimmed, ""), 0, n_tokens)
 
-    texts_py = texts.to_pylist()
-    punct = np.array(
-        [sum(1 for ch in (t or "") if not ch.isalnum() and not ch.isspace()) for t in texts_py],
-        dtype=np.float64,
-    )
-    nch = np.maximum(np.asarray(n_chars.to_pylist() if hasattr(n_chars, "to_pylist") else n_chars, dtype=np.float64), 1.0)
-    ntk_arr = np.asarray(n_tokens.to_pylist() if hasattr(n_tokens, "to_pylist") else n_tokens, dtype=np.float64)
+    # punct chars = chars outside [a-zA-Z0-9\s] — the exact definition the SQL
+    # oracle uses (regexp_replace + length), one Arrow regex pass
+    punct = pc.utf8_length(
+        pc.replace_substring_regex(texts, pattern=r"[a-zA-Z0-9\s]", replacement="")
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    nch = np.maximum(n_chars.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+    ntk_arr = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
     ntk = np.maximum(ntk_arr, 1.0)
-    stop_set = set(_STOPWORDS_EN)
-    stops = np.array(
-        [sum(1 for w in (t or "").lower().split() if w in stop_set) for t in texts_py], dtype=np.float64
+
+    # token stream exploded once: stopword hits + length sums by bincount
+    lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(tokens)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    is_stop = pc.is_in(pc.utf8_lower(flat), value_set=pa.array(_STOPWORDS_EN)).to_numpy(
+        zero_copy_only=False
     )
-    mean_tok_len = np.array(
-        [float(np.mean([len(w) for w in (t or "").split()])) if (t or "").split() else 0.0 for t in texts_py]
-    )
+    stops = np.bincount(rows[is_stop], minlength=n).astype(np.float64)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    sum_len = np.bincount(rows, weights=tok_len, minlength=n)
+    mean_tok_len = np.where(ntk_arr > 0, sum_len / ntk, 0.0)
     punct_ratio = punct / nch
     stop_ratio = stops / ntk
     # bounded score: long-enough, low punctuation, some stopwords, sane word length
@@ -136,11 +165,26 @@ class TokenCount:
         self.re = _BPE_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ws = np.array([len((t or "").split()) for t in texts], dtype=np.int64)
-        bpe = np.array(
-            [sum(-(-len(m) // 4) for m in self.re.findall(t or "")) for t in texts], dtype=np.int64
-        )
+        """Vectorized: ``\\w+|[^\\w\\s]`` decomposes into word runs (each worth
+        ceil(len/4) units) plus single non-word-non-space chars (1 unit each)
+        — two Arrow regex passes instead of a per-row findall loop."""
+        n = batch.num_rows
+        texts = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        trimmed = pc.utf8_trim_whitespace(texts)
+        ws_list = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        ws = pc.if_else(
+            pc.equal(trimmed, ""), 0, pc.list_value_length(ws_list)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        words = pc.split_pattern_regex(texts, pattern=r"\W+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_len = pc.utf8_length(pc.list_flatten(words)).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        word_units = np.bincount(rows, weights=(flat_len + 3) // 4, minlength=n).astype(np.int64)
+        punct_units = pc.utf8_length(
+            pc.replace_substring_regex(texts, pattern=r"[\w\s]", replacement="")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bpe = word_units + punct_units
         return batch.append_column("ws_tokens", pa.array(ws)).append_column("bpe_tokens", pa.array(bpe))
 
 
@@ -154,25 +198,74 @@ def token_counts(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dat
 # ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
+_FP_B = np.uint64(1000003)  # polynomial base (< 2^20 so the mulmod split fits)
+_FP_M = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _mod_m(x: np.ndarray) -> np.ndarray:
+    """x mod 2^61-1 for x < 2^63 (uint64), using 2^61 ≡ 1 (mod M)."""
+    x = (x >> np.uint64(61)) + (x & _FP_M)
+    return np.where(x >= _FP_M, x - _FP_M, x)
+
+
+def _horner_step(h: np.ndarray, th: np.ndarray) -> np.ndarray:
+    """(h * B + th) mod 2^61-1, vectorized without 128-bit overflow.
+
+    h < M < 2^61, B < 2^20. Split h = hi·2^32 + lo: h·B = hi·B·2^32 + lo·B.
+    With t = hi·B < 2^49 and 2^61 ≡ 1 (mod M):
+    t·2^32 ≡ (t >> 29) + ((t & (2^29-1)) << 32). All addends < 2^61; the sum
+    fits uint64 and one _mod_m pass reduces it."""
+    hi = h >> np.uint64(32)
+    lo = h & np.uint64(0xFFFFFFFF)
+    t = hi * _FP_B
+    part = _mod_m((t >> np.uint64(29)) + ((t & _MASK29) << np.uint64(32)))
+    part = _mod_m(part + _mod_m(lo * _FP_B))
+    return _mod_m(part + _mod_m(th))
+
+
+def rolling_fp_batch(col) -> np.ndarray:
+    """64-bit order-sensitive polynomial fingerprint per text, vectorized:
+    tokens exploded once, hashed with functions.hashing.hash_strings (one
+    buffer-level pass — no per-token hashlib), then a Horner chain over token
+    POSITIONS (max-tokens-per-doc vectorized steps, not per-token Python)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_strings
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    s = pd.Series(pc.fill_null(arr, "").to_pandas(), copy=False)
+    toks = s.str.split().explode().dropna()
+    toks = toks[toks.ne("")]
+    rows = toks.index.to_numpy(dtype=np.int64)
+    counts = np.bincount(rows, minlength=n).astype(np.int64)
+    h = np.zeros(n, dtype=np.uint64)
+    if len(toks) == 0:
+        return h
+    th = hash_strings(pa.array(toks.to_numpy(dtype=object), type=pa.string()))
+    starts = np.cumsum(counts) - counts
+    for k in range(int(counts.max())):
+        active = counts > k
+        idx = starts[active] + k
+        h[active] = _horner_step(h[active], th[idx])
+    return h
+
+
 def fingerprints(ds: Dataset, text_col: str = "text") -> Dataset:
     """Two fingerprints per doc:
-      * md5_fp      — md5 hex of the raw text (SQL-oracle-checkable)
+      * md5_fp      — md5 hex of the raw text. Stays per-row ``hashlib.md5``
+                      ON PURPOSE: the external SQL oracle (DuckDB ``md5()``)
+                      must replicate it byte-for-byte (functions/hashing.py
+                      md5_hash_strings carries the same rationale).
       * rolling_fp  — 64-bit polynomial rolling hash over whitespace tokens
-                      (order-sensitive content fingerprint)
+                      (order-sensitive), fully vectorized.
     """
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-        rolls = []
-        B = 1000003
-        M = (1 << 61) - 1
-        for t in texts:
-            h = 0
-            for tok in (t or "").split():
-                th = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-                h = (h * B + th) % M
-            rolls.append(h)
+        rolls = rolling_fp_batch(batch[text_col])
         return batch.append_column("md5_fp", pa.array(md5s, type=pa.string())).append_column(
             "rolling_fp", pa.array(rolls, type=pa.uint64())
         )

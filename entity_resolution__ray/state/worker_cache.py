@@ -28,9 +28,11 @@ import ray
 
 # Bounded LRU: keys are ObjectRef hexes, which change per pipeline run — an
 # unbounded dict would accumulate every run's decoded state (doc-bundle dicts,
-# attach maps, models) in long-lived workers until OOM. 4 slots covers the
-# distinct broadcast objects any one pipeline stage mix needs at a time.
-_MAX_ENTRIES = 4
+# attach maps, models) in long-lived workers until OOM. 8 slots covers the
+# distinct broadcast objects the fused lazy texts-mode pipeline interleaves in
+# one worker (country_extractor, attach map, vec_word, vec_char, model, gram
+# store, …) — 4 thrashed there, re-running O(corpus) builds per batch.
+_MAX_ENTRIES = 8
 _CACHE: "OrderedDict[str, Any]" = OrderedDict()
 
 

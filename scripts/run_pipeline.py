@@ -76,6 +76,7 @@ def main() -> int:
         run_cohort_transitivity=not args.no_geo,
         num_partitions=n_part,
         attach_mode=args.attach_mode,
+        model_name=args.model_name,
     )
 
     model = None
@@ -93,7 +94,7 @@ def main() -> int:
     os.makedirs(args.workdir, exist_ok=True)
     out = run_er_pipeline(docs, labeled_pairs=labeled, model=model, workdir=args.workdir, config=cfg)
 
-    summary = {"workdir": args.workdir, "num_partitions": n_part, "model": args.model_name}
+    summary = {"workdir": args.workdir, "num_partitions": n_part}
     for key in ("clusters_cc", "clusters_transitive"):
         ds = out.get(key)
         if ds is not None:
@@ -101,6 +102,10 @@ def main() -> int:
     metrics = getattr(out.get("model"), "metrics", None)
     if metrics:
         summary["oof_f1"] = metrics.get("oof_f1_at_best")
+        # report what actually trained, not what was requested
+        summary["model"] = metrics.get("model")
+    else:
+        summary["model"] = "pretrained_pickle"
     with open(os.path.join(args.workdir, "job_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

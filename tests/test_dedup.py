@@ -116,3 +116,40 @@ def test_intersect_sorted_sets_classes_and_edges():
         want = len(np.intersect1d(a, b, assume_unique=True))
         assert inter[k] == want, (k, ia[k], ib[k], inter[k], want)
         assert na[k] == len(a) and nb[k] == len(b)
+
+
+def test_jaccard_verify_null_texts():
+    """Join-path verify with missing docs: null texts must behave as empty
+    strings, not crash or compute garbage (dictionary_encode null indices)."""
+    from entity_resolution__ray.stages.dedup import JaccardVerify
+
+    t = pa.table(
+        {
+            "id_left": [1, 2, 3],
+            "id_right": [4, 5, 6],
+            "src_text": ["same exact text here", None, None],
+            "cand_text": ["same exact text here", "real text on one side", None],
+        }
+    )
+    out = JaccardVerify()(t).to_pylist()
+    assert out[0]["jaccard"] == 1.0
+    assert out[1]["jaccard"] == 0.0  # empty vs non-empty
+    assert out[2]["jaccard"] == 1.0  # both empty → 1.0 (reference rule)
+
+
+def test_gram_set_verify_unknown_ids(ray_session):
+    """Candidate pairs whose ids are absent from the gram store must verify
+    to jaccard 0.0 (unknown ≠ empty) — not ride the both-empty=1.0 rule."""
+    from entity_resolution__ray.stages.dedup import GramSetVerify, build_gram_set_refs
+
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "alpha beta gamma delta"}, {"doc_id": 2, "text": ""}]
+    )
+    refs = build_gram_set_refs(docs, text_col="text", id_col="doc_id", shingle="char4")
+    v = GramSetVerify(refs, key="test-unknown-ids")
+    out = v(
+        pa.table({"id_left": [99, 1, 2], "id_right": [98, 99, 2]})
+    ).to_pylist()
+    assert out[0]["jaccard"] == 0.0  # both unknown
+    assert out[1]["jaccard"] == 0.0  # one unknown
+    assert out[2]["jaccard"] == 1.0  # both present, both genuinely empty

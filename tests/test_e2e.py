@@ -111,3 +111,63 @@ def test_rerun_skips_finished_stages(pipeline_run, fixture_corpus):
     df2 = out2["clusters_cc"].to_pandas().sort_values(["cluster_id", "node_id"]).reset_index(drop=True)
     assert df1.equals(df2)
     assert resume_wall < 120
+
+
+def test_model_name_threads_through_config(ray_session, fixture_corpus, tmp_path):
+    """--model-name must reach the trainer: a run requesting xgb trains xgb
+    (round-2 defect: run_pipeline accepted --model-name but always trained
+    the logreg default)."""
+    docs = rd.read_parquet(fixture_corpus["docs"])
+    golden_pairs = pq.read_table(fixture_corpus["golden_pairs"])
+    out = run_er_pipeline(
+        docs,
+        labeled_pairs=golden_pairs,
+        workdir=None,
+        config=ERConfig(
+            num_partitions=4,
+            model_name="xgb",
+            gbt_params={"n_estimators": 20},
+            run_cohort_transitivity=False,
+        ),
+    )
+    assert out["model"].metrics["model"] == "xgb"
+    assert out["clusters_cc"].count() > 0
+
+
+def test_auto_scale_probe_and_forced_join_parity(ray_session, fixture_corpus):
+    """The 100-TB path-selection gate: (a) the default auto probe keeps the
+    broadcast/bundle/dense paths on a small corpus; (b) a tiny broadcast
+    budget flips the SAME config to the beyond-object-store join/hash paths;
+    (c) both runs produce the identical cluster partition."""
+    docs = rd.read_parquet(fixture_corpus["docs"])
+    golden_pairs = pq.read_table(fixture_corpus["golden_pairs"])
+
+    base = run_er_pipeline(
+        docs, labeled_pairs=golden_pairs, workdir=None,
+        config=ERConfig(num_partitions=4),
+    )
+    sp = base["scale_paths"]
+    assert sp["features_mode"] == "bundles"
+    assert sp["attach_mode"] == "broadcast"
+    assert sp["renumber"] == "dense"
+    assert sp["probe"]["est_broadcast_bytes"] < sp["probe"]["budget_bytes"]
+
+    forced = run_er_pipeline(
+        docs, model=base["model"], workdir=None,
+        config=ERConfig(
+            num_partitions=4,
+            broadcast_max_fraction=1e-12,   # nothing fits → join paths
+            dense_renumber_max_rows=1,      # force hash renumbering too
+        ),
+    )
+    spf = forced["scale_paths"]
+    assert spf["features_mode"] == "texts"
+    assert spf["attach_mode"] == "join"
+    assert spf["renumber"] == "hash"
+
+    def partition(ds):
+        df = ds.to_pandas()
+        return {frozenset(g) for _, g in df.groupby("cluster_id")["node_id"]}
+
+    assert partition(base["clusters_cc"]) == partition(forced["clusters_cc"])
+    assert partition(base["clusters_transitive"]) == partition(forced["clusters_transitive"])
