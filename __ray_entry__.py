@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,          # no SQL oracle
         # --- similarity search ---------------------------------------------
         "knn_cosine_topk": _q_knn_cosine,
+        "ann_ivf_topk": _q_ann_ivf,
         # --- text analysis -------------------------------------------------
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
@@ -164,11 +165,9 @@ def _q_token_df(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def distinct_tokens(t: pa.Table) -> pa.Table:
-        toks = tokens_array(t["text"])
-        out = []
-        for lst in toks.to_pylist():
-            out.extend(set(lst or ()))
-        return pa.table({"token": pa.array(out, type=pa.string())})
+        from entity_resolution__ray.functions.text_norm import distinct_tokens_flat
+
+        return pa.table({"token": distinct_tokens_flat(tokens_array(t["text"]))})
 
     return ds.map_batches(distinct_tokens, batch_format="pyarrow").groupby("token").aggregate(
         Count(alias_name="df")
@@ -195,20 +194,24 @@ def _q_revenue_by_nation(sf_dir: str):
             batch_size=65536, batch_format="pyarrow"))
     )
     nname = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cust_to_nation = {
-        c: nname[nk]
-        for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    dim_ref = ray.put(cust_to_nation)
+    import pandas as pd
+
+    cust_index = pd.Index(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    cust_names = np.array(
+        [nname[nk] for nk in cust["c_nationkey"].to_pylist()], dtype=object
+    )  # one pass over the (tiny) dimension, not per fact row
+    dim_ref = ray.put((cust_index, cust_names))
 
     def partial(t: pa.Table, dim_ref=dim_ref) -> pa.Table:
         from entity_resolution__ray.state.worker_cache import cached_get
 
-        dim = cached_get(dim_ref)
+        idx, names_arr = cached_get(dim_ref)
         import pandas as pd
 
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), 0), pa.int64()).to_numpy()
-        names = [dim.get(c) for c in t["o_custkey"].to_pylist()]
+        pos = idx.get_indexer(t["o_custkey"].to_numpy(zero_copy_only=False))
+        names = names_arr[np.maximum(pos, 0)]
+        names[pos < 0] = None
         df = pd.DataFrame({"n_name": names, "cents": cents})
         out = df.groupby("n_name", as_index=False).agg(cents=("cents", "sum"), n_orders=("cents", "size"))
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -251,8 +254,8 @@ def _q_orders_by_customer(sf_dir: str):
 
 def _first_token_keys(t: pa.Table) -> pa.Table:
     toks = tokens_array(t["text"])
-    first = [lst[0] if lst else "" for lst in toks.to_pylist()]
-    return pa.table({"doc_id": t["doc_id"], "k": pa.array(first, type=pa.string())})
+    first = pc.binary_join(pc.list_slice(toks, 0, 1), "")  # [] → ""
+    return pa.table({"doc_id": t["doc_id"], "k": first})
 
 
 def _q_block_candidates(sf_dir: str):
@@ -402,6 +405,28 @@ def _q_knn_cosine(sf_dir: str):
     qrows.sort(key=lambda r: r["vec_id"])
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     out = brute_force_topk(emb, Q, k=10)
+    return out.set_column(
+        out.column_names.index("cosine"), "cosine", pc.round(out["cosine"], 4)
+    )
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN with nprobe == n_clusters: every cell is probed, so recall is
+    EXACT and the result must hash-match the brute-force SQL oracle — this
+    gates the whole IVF machinery (k-means fit, cell assignment, per-cell
+    partial top-k, probe-mask merge) with a deterministic oracle."""
+    from entity_resolution__ray.stages.similarity import ivf_build, ivf_topk
+
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = (
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 2")
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    assigned, centers = ivf_build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id", seed=0)
+    out = ivf_topk(assigned, centers, Q, k=5, nprobe=8)
     return out.set_column(
         out.column_names.index("cosine"), "cosine", pc.round(out["cosine"], 4)
     )
@@ -788,5 +813,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5_fp FROM documents
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2)
+            SELECT qid AS query_idx, e.vec_id,
+                   round(CAST(list_cosine_similarity(qe, e.embedding) AS DOUBLE), 4) AS cosine
+            FROM q, embeddings e
+            QUALIFY row_number() OVER (
+              PARTITION BY qid ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC
+            ) <= 5
         """,
     }

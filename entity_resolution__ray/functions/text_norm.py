@@ -83,6 +83,30 @@ def fill_str(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.fill_null(arr, "")
 
 
+def distinct_tokens_flat(tokens_list: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Flat string array of PER-ROW-DISTINCT non-empty tokens from a
+    ``list<string>`` column, fully vectorized (explode → joint factorize →
+    unique (row, code) combos) — no per-row Python set building."""
+    import pandas as pd
+
+    arr = tokens_list.combine_chunks() if isinstance(tokens_list, pa.ChunkedArray) else tokens_list
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniq = pd.factorize(flat)
+    keep = np.array([u != "" for u in uniq], dtype=bool) if len(uniq) else np.zeros(0, dtype=bool)
+    mask = keep[codes] if len(codes) else np.zeros(0, dtype=bool)
+    rows, codes = rows[mask], codes[mask].astype(np.int64)
+    if len(codes) == 0:
+        return pa.array([], type=pa.string())
+    V = len(uniq)
+    combo = np.unique(rows * V + codes)
+    return pa.array(uniq[combo % V], type=pa.string())
+
+
 def token_sets(tokens_list: list[list[str]]) -> list[set]:
     """Per-row distinct-token sets (for Jaccard kernels)."""
     return [set(t) for t in tokens_list]

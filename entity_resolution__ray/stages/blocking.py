@@ -405,10 +405,10 @@ def dataset_stopwords(norm_docs: Dataset, freq_cutoff: float = 0.30) -> Set[str]
         return set()
 
     def distinct_tokens(batch: pa.Table) -> pa.Table:
-        toks: List[str] = []
-        for nt in batch["norm_text"].to_pylist():
-            toks.extend(set((nt or "").split(" ")) - {""})
-        return pa.table({"token": toks})
+        from ..functions.text_norm import distinct_tokens_flat
+
+        col = pc.fill_null(batch["norm_text"].combine_chunks(), "")
+        return pa.table({"token": distinct_tokens_flat(pc.split_pattern(col, " "))})
 
     df_counts = (
         norm_docs.select_columns(["norm_text"])

@@ -342,14 +342,6 @@ def connected_components(
     ``max_iters`` bounds one call — if the fixpoint isn't reached the state
     file records ``converged=false`` and a later call continues.
     """
-    import sys
-
-    # each iteration builds on the previous materialized labels; Ray retains
-    # logical-plan links across materialize(), so plan copies recurse ~O(ops ×
-    # iterations) — give them headroom (length-lex encoding keeps iterations
-    # ~log(diameter), but deep graphs at max_iters still need this)
-    sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
-
     if driver_fallback_threshold and checkpoint_dir is None:
         raw = edges.materialize()
         if raw.count() <= driver_fallback_threshold:
@@ -379,12 +371,15 @@ def connected_components(
         if state.get("converged"):
             return _decode_labels(labels)
     if labels is None:
+        # every iteration's label table is published to parquet and RE-READ:
+        # the reload both makes the closure resumable and severs logical-plan
+        # lineage (each iteration starts from a fresh read plan, so plan depth
+        # stays O(1) across max_iters — no recursion-limit games), and keeps
+        # the multi-consumer propagate plan (label_edges + join side + tagged)
+        # off lazy label chains, which deadlock Ray's streaming executor
         labels = _initial_labels(edges, num_partitions)
-        if checkpoint_dir:
-            _checkpoint_labels(labels, checkpoint_dir, 0, converged=False)
-            labels = rd.read_parquet(os.path.join(checkpoint_dir, "labels_iter_0"))
-        else:
-            labels = labels.materialize()  # reused 3× per iteration
+        _checkpoint_labels(labels, checkpoint_dir, 0, converged=False)
+        labels = rd.read_parquet(os.path.join(checkpoint_dir, "labels_iter_0"))
 
     it = start_iter
     converged = False
@@ -392,21 +387,13 @@ def connected_components(
         agg = _propagate_once(edges, labels, num_partitions).materialize()
         changed = _count_changed(agg)
         new_labels = agg.drop_columns(["old_label"])
-        if checkpoint_dir:
-            _checkpoint_labels(new_labels, checkpoint_dir, it, converged=False)
-            new_labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{it}"))
-        else:
-            # keep every iteration's label table MATERIALIZED: feeding lazy
-            # label chains into the multi-consumer propagate plan (label_edges
-            # + join side + tagged) deadlocks Ray's streaming executor
-            new_labels = new_labels.materialize()
-        labels = new_labels
+        _checkpoint_labels(new_labels, checkpoint_dir, it, converged=False)
+        labels = rd.read_parquet(os.path.join(checkpoint_dir, f"labels_iter_{it}"))
         if changed == 0:
             converged = True
             break
-    if checkpoint_dir:
-        with open(state_path, "w") as f:
-            json.dump({"iteration": it, "converged": converged}, f)
+    with open(state_path, "w") as f:
+        json.dump({"iteration": it, "converged": converged}, f)
     return _decode_labels(labels)
 
 

@@ -19,9 +19,10 @@ it is a VISUALIZATION operator whose input is the matched-pair graph
 gated by ``max_driver_edges`` and raises rather than silently funneling an
 oversized graph through the driver.
 
-The matplotlib spring-layout PNG sink (visualize_graph_utils.py:52-97) stays
-out of scope: matplotlib is absent from the container and a plot is not a
-data-processing result. GEXF carries the same graph to any renderer.
+The spring-layout PNG sink (visualize_graph_utils.py:52-97) lives in
+``stages/plot.py`` — a from-scratch seeded Fruchterman-Reingold layout,
+numpy rasterizer and stdlib-zlib PNG encoder (matplotlib is absent from the
+container); GEXF here carries the same graph to any external renderer.
 """
 
 from __future__ import annotations
@@ -299,16 +300,28 @@ def write_gexf(
             return "double"
         return "string"
 
-    nodes: set = set()
-    edge_rows: List[Tuple[str, str, float]] = []
-    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        us = [str(x) for x in b["u"].to_pylist()]
-        vs = [str(x) for x in b["v"].to_pylist()]
-        ws = b["weight"].to_pylist() if "weight" in b.column_names else [1.0] * len(us)
-        nodes.update(us)
-        nodes.update(vs)
-        edge_rows.extend(zip(us, vs, [float(w) if w is not None else 1.0 for w in ws]))
+    # materialize once (blocks live in the object store, which SPILLS — unlike
+    # the old driver-side edge list, which pinned every edge in driver heap),
+    # then two streamed passes: distinct nodes first (GEXF requires the node
+    # section before edges), edges second.
+    from .blocking import bucketed_apply
 
+    edges = edges.materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["u"], pa.string()).combine_chunks()
+        v = pc.cast(t["v"], pa.string()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    node_ds = bucketed_apply(
+        edges.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        lambda g: g.drop_duplicates("node"),
+        num_buckets=16,
+    ).sort("node")
+
+    n_nodes = 0
+    n_edges = 0
     with open(path, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
@@ -319,18 +332,28 @@ def write_gexf(
                 f.write(f'      <attribute id="{i}" title={quoteattr(c)} type="{gexf_type(i)}"/>\n')
             f.write('    </attributes>\n')
         f.write('    <nodes>\n')
-        for nid in sorted(nodes):
-            q = quoteattr(nid)
-            if nid in attr_of:
-                f.write(f'      <node id={q} label={q}>\n        <attvalues>\n')
-                for i, v in enumerate(attr_of[nid]):
-                    f.write(f'          <attvalue for="{i}" value={quoteattr(escape(str(v)))}/>\n')
-                f.write('        </attvalues>\n      </node>\n')
-            else:
-                f.write(f'      <node id={q} label={q}/>\n')
+        for b in node_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for nid in b["node"].to_pylist():
+                n_nodes += 1
+                q = quoteattr(nid)
+                if nid in attr_of:
+                    f.write(f'      <node id={q} label={q}>\n        <attvalues>\n')
+                    for i, v in enumerate(attr_of[nid]):
+                        f.write(f'          <attvalue for="{i}" value={quoteattr(escape(str(v)))}/>\n')
+                    f.write('        </attvalues>\n      </node>\n')
+                else:
+                    f.write(f'      <node id={q} label={q}/>\n')
         f.write('    </nodes>\n    <edges>\n')
-        for i, (u, v, w) in enumerate(edge_rows):
-            f.write(f'      <edge id="{i}" source={quoteattr(u)} target={quoteattr(v)} weight="{w}"/>\n')
+        for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            us = [str(x) for x in b["u"].to_pylist()]
+            vs = [str(x) for x in b["v"].to_pylist()]
+            ws = b["weight"].to_pylist() if "weight" in b.column_names else [1.0] * len(us)
+            for u, v, w in zip(us, vs, ws):
+                f.write(
+                    f'      <edge id="{n_edges}" source={quoteattr(u)} target={quoteattr(v)} '
+                    f'weight="{float(w) if w is not None else 1.0}"/>\n'
+                )
+                n_edges += 1
         f.write('    </edges>\n  </graph>\n</gexf>\n')
-    logger.info("gexf: wrote %d nodes / %d edges -> %s", len(nodes), len(edge_rows), path)
-    return len(edge_rows)
+    logger.info("gexf: wrote %d nodes / %d edges -> %s", n_nodes, n_edges, path)
+    return n_edges

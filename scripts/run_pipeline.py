@@ -48,8 +48,9 @@ def main() -> int:
     ap.add_argument("--no-geo", action="store_true")
     ap.add_argument("--num-partitions", type=int, default=0,
                     help="shuffle width; 0 = cluster CPU count")
-    ap.add_argument("--attach-mode", default="broadcast", choices=["broadcast", "join"],
-                    help="doc-column attach: broadcast (small corpus) or join (10^12-doc path)")
+    ap.add_argument("--attach-mode", default="auto", choices=["auto", "broadcast", "join"],
+                    help="doc-column attach: auto (sizing probe, default), broadcast "
+                         "(small corpus) or join (10^12-doc path)")
     args = ap.parse_args()
 
     import ray

@@ -68,8 +68,13 @@ SQL_CHECKED = [
     "o1_topk_docs",
     "c4_connected_components",
     "w1_tumbling_window",
+    "w2_session_window",
+    "cur_stratified_sample",
+    "cur_canonical_docs",
+    "cur_lang_rollup",
     "dedup_exact",
     "knn_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "token_counts",
     "fingerprint_md5",
