@@ -170,20 +170,17 @@ def train_matcher_from_labels(
     }
     want_ref = ray.put(want)
 
-    class LabelJoin:
-        def __init__(self, ref):
-            self.want = ray.get(ref)
+    def label_join(t: pa.Table, ref=want_ref) -> pa.Table:
+        from ..state.worker_cache import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = list(zip(t["id_left"].to_pylist(), t["id_right"].to_pylist()))
-            mask = np.array([k in self.want for k in keys], dtype=bool)
-            t = t.filter(pa.array(mask))
-            labels = [self.want[k] for k, m in zip(keys, mask) if m]
-            return t.append_column("label", pa.array(labels, type=pa.int8()))
+        want_map = cached_get(ref)
+        keys = list(zip(t["id_left"].to_pylist(), t["id_right"].to_pylist()))
+        mask = np.array([k in want_map for k in keys], dtype=bool)
+        t = t.filter(pa.array(mask))
+        labels = [want_map[k] for k, m in zip(keys, mask) if m]
+        return t.append_column("label", pa.array(labels, type=pa.int8()))
 
-    labeled = features_ds.map_batches(
-        LabelJoin, fn_constructor_kwargs={"ref": want_ref}, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    labeled = features_ds.map_batches(label_join, batch_format="pyarrow")
     tbl = pa.concat_tables(list(labeled.iter_batches(batch_size=65536, batch_format="pyarrow")))
     X = np.column_stack([tbl[c].to_numpy(zero_copy_only=False) for c in FEATURE_COLS])
     y = tbl["label"].to_numpy(zero_copy_only=False)

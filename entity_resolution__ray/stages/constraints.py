@@ -190,7 +190,6 @@ def apply_constraints(
     use_token_overlap: bool = False,
     stopwords: Optional[Set[str]] = None,
     min_jaccard: float = TOKEN_OVERLAP_MIN_JACCARD,
-    concurrency=(1, 8),
 ) -> Dataset:
     """Threshold + constraint verdicts (C3). Returns the stream with
     keep/drop_reason columns; use :func:`split_kept_dropped` on a checkpointed

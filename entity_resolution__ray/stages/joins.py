@@ -130,29 +130,27 @@ def broadcast_anti_join(ds: Dataset, keys: set, on: Sequence[str], semi: bool = 
     keys_ref = _ray.put(keys)
     cols = list(on)
 
-    class Filter:
-        def __init__(self, ref):
-            self.keys = _ray.get(ref)
+    def filt(t: pa.Table, ref=keys_ref) -> pa.Table:
+        import numpy as np
+        import pandas as pd
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import numpy as np
-            import pandas as pd
+        from ..state.worker_cache import cached_get
 
-            if len(cols) == 1:
-                col = pd.Series(t[cols[0]].to_numpy(zero_copy_only=False))
-                hit = col.isin(self.keys).to_numpy(dtype=bool)
-            else:
-                idx = pd.MultiIndex.from_arrays(
-                    [t[c].to_numpy(zero_copy_only=False) for c in cols]
-                )
-                hit = idx.isin(self.keys)
-            mask = hit if semi else ~hit
-            return t.filter(pa.array(mask))
+        keyset = cached_get(ref)
+        if len(cols) == 1:
+            col = pd.Series(t[cols[0]].to_numpy(zero_copy_only=False))
+            hit = col.isin(keyset).to_numpy(dtype=bool)
+        else:
+            idx = pd.MultiIndex.from_arrays(
+                [t[c].to_numpy(zero_copy_only=False) for c in cols]
+            )
+            hit = idx.isin(keyset)
+        mask = hit if semi else ~hit
+        return t.filter(pa.array(mask))
 
-    return ds.map_batches(
-        Filter, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
-    )
+    # small picklable closure → elastic tasks (no pool spin-up); the key set
+    # is resolved once per worker via the worker cache
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def attach_doc_columns(

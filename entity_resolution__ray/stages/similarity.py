@@ -45,14 +45,26 @@ class BatchTopK:
     """Batch fn: per-batch cosine top-k against the broadcast query matrix.
     Emits (query_idx, vec_id, cosine) — at most Q×k rows per batch. With
     ``cell_col`` set, the candidate's IVF cell rides along so the merge can
-    apply per-query probe masks without any driver-side id→cell table."""
+    apply per-query probe masks without any driver-side id→cell table.
+
+    Holds only the ObjectRef (small picklable state → runs as ELASTIC TASKS,
+    not a capped actor pool whose serial spin-up dominated this query); each
+    worker resolves + normalizes the query matrix once via the worker cache."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str, cell_col: Optional[str] = None):
-        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.qref = queries_ref
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
         self.cell_col = cell_col
+
+    @property
+    def Q(self) -> np.ndarray:
+        from ..state.worker_cache import cached_get
+
+        return cached_get(
+            self.qref, transform=lambda q: _normalize(np.asarray(q, dtype=np.float64))
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -84,18 +96,14 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency=(1, 8),
 ) -> pa.Table:
     """Exact cosine top-k per query row. Returns (query_idx, vec_id, cosine)
     sorted by (query_idx, -cosine, vec_id); ties broken by vec_id for
     determinism."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
+    fn = BatchTopK(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col)
     partial = ds.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True
     )
     return _merge_topk(partial, k)
 
@@ -156,14 +164,20 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int 
 
 
 class IVFAssign:
+    """Small picklable state (just the centers ref) → elastic tasks; centers
+    resolved once per worker via the worker cache."""
+
     def __init__(self, centers_ref, vec_col: str, id_col: str):
-        self.centers = ray.get(centers_ref)
+        self.cref = centers_ref
         self.vec_col = vec_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        centers = cached_get(self.cref)
         V = _normalize(_vecs_from_list_column(batch[self.vec_col]))
-        assign = np.argmax(V @ self.centers.T, axis=1)
+        assign = np.argmax(V @ centers.T, axis=1)
         return batch.append_column("ivf_cell", pa.array(assign, type=pa.int32()))
 
 
@@ -183,12 +197,9 @@ def ivf_build(
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
     centers = kmeans_fit(sample, n_clusters, seed=seed)
     cref = ray.put(centers)
+    fn = IVFAssign(centers_ref=cref, vec_col=vec_col, id_col=id_col)
     assigned = ds.map_batches(
-        IVFAssign,
-        fn_constructor_kwargs={"centers_ref": cref, "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True
     )
     return assigned, centers
 
@@ -219,13 +230,9 @@ def ivf_topk(
     # only if the vec's cell is probed by that query. The cell rides with
     # every partial top-k row — no driver-side id→cell table at any scale.
     qref = ray.put(Q)
+    fn = BatchTopK(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col, cell_col="ivf_cell")
     partial = sub.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col,
-                               "cell_col": "ivf_cell"},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True
     )
     probe_sets = [set(int(c) for c in row) for row in probe]
     return _merge_topk(partial, k, probe_sets=probe_sets)
@@ -270,13 +277,9 @@ def ivf_topk_partitioned(
         zero_copy_batch=True,
     )
     qref = ray.put(Q)
+    fn = BatchTopK(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col, cell_col="ivf_cell")
     partial = sub.map_batches(
-        BatchTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "vec_col": vec_col, "id_col": id_col,
-                               "cell_col": "ivf_cell"},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True
     )
     probe_sets = [set(int(c) for c in row) for row in probe]
     return _merge_topk(partial, k, probe_sets=probe_sets)

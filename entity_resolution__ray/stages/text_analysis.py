@@ -79,10 +79,13 @@ class LanguageId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
-def language_id(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+def language_id(ds: Dataset, text_col: str = "text", concurrency=None) -> Dataset:
+    # tiny picklable state (compiled regexes) → elastic tasks by default;
+    # pass concurrency to force an explicit actor pool
+    fn = LanguageId(text_col=text_col)
+    kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(
-        LanguageId, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True, **kwargs
     )
 
 
@@ -188,10 +191,11 @@ class TokenCount:
         return batch.append_column("ws_tokens", pa.array(ws)).append_column("bpe_tokens", pa.array(bpe))
 
 
-def token_counts(ds: Dataset, text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+def token_counts(ds: Dataset, text_col: str = "text", concurrency=None) -> Dataset:
+    fn = TokenCount(text_col=text_col)
+    kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(
-        TokenCount, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        lambda t, f=fn: f(t), batch_format="pyarrow", zero_copy_batch=True, **kwargs
     )
 
 
