@@ -125,8 +125,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_session_window": _q_session_window,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash,      # no SQL oracle (LSH)
-        "dedup_simhash": _q_dedup_simhash,          # no SQL oracle
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # embedding near-dup has no queries() entry ON PURPOSE: hyperplane-LSH
+        # recall is probabilistic (no exact SQL oracle can exist) AND the
+        # synthetic embeddings tables contain zero pairs above any near-dup
+        # threshold (max pair cosine ≈ 0.51 at sf0.001/sf0.01), so a driver
+        # run would be a vacuous 0-row check. The operator is gated by
+        # tests/test_dedup.py on synthetic near-duplicate vectors instead.
         # --- similarity search ---------------------------------------------
         "knn_cosine_topk": _q_knn_cosine,
         "ann_ivf_topk": _q_ann_ivf,
@@ -393,6 +400,33 @@ def _q_dedup_simhash(sf_dir: str):
     # recall at Hamming ≤ 3 is exact (4×16-bit bands, pigeonhole), so the
     # output is the deterministic set of all ≤3-Hamming pairs.
     return simhash_candidates(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3, hash_mode="md5")
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    """Char-4-gram Jaccard verification over a deterministic pair set
+    (adjacent doc ids — the f_pair_sims shape), via the JOIN-path verifier
+    ``dedup.JaccardVerify`` — the text-riding verify kernel the
+    beyond-object-store dedup path uses. Exact SQL oracle (same grams CTE as
+    the minhash closure oracle)."""
+    from entity_resolution__ray.stages.dedup import JaccardVerify
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    left = ds.rename_columns({"doc_id": "id_left", "text": "src_text"})
+    right = ds.map_batches(
+        lambda t: pa.table({"id_left": pc.subtract(t["doc_id"], 1), "cand_text": t["text"]}),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(left, right, on=["id_left"], num_partitions=8)
+    v = JaccardVerify(shingle="char4")
+    # round_mode matches DuckDB ROUND (half away from zero = towards_infinity);
+    # half-to-even diverges on exact ties like 0.2578125
+    return pairs.map_batches(lambda t, vv=v: vv(t), batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "id_left": t["id_left"],
+            "jaccard": pc.round(t["jaccard"], 6, round_mode="half_towards_infinity"),
+        }),
+        batch_format="pyarrow",
+    )
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -813,6 +847,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5_fp FROM documents
+        """,
+        "dedup_ngram_jaccard": """
+            WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN length(text) < 4 THEN text ELSE gram END AS g
+              FROM (
+                SELECT doc_id, text,
+                       unnest(list_transform(range(1, greatest(length(text)-2, 2)),
+                                             i -> substring(text, i, 4))) AS gram
+                FROM docs WHERE length(text) > 0
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right
+                      FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1),
+            inter AS (
+              SELECT p.id_left, count(*) AS c
+              FROM pairs p JOIN grams ga ON ga.doc_id = p.id_left
+                           JOIN grams gb ON gb.doc_id = p.id_right AND gb.g = ga.g
+              GROUP BY p.id_left
+            )
+            SELECT p.id_left,
+                   round(CASE WHEN coalesce(s1.n,0) = 0 AND coalesce(s2.n,0) = 0 THEN 1.0
+                              WHEN coalesce(s1.n,0) = 0 OR coalesce(s2.n,0) = 0 THEN 0.0
+                              ELSE coalesce(i.c,0) * 1.0 / (s1.n + s2.n - coalesce(i.c,0))
+                         END, 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN sizes s1 ON s1.doc_id = p.id_left
+            LEFT JOIN sizes s2 ON s2.doc_id = p.id_right
+            LEFT JOIN inter i ON i.id_left = p.id_left
         """,
         "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2)

@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "fingerprint_md5",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "lang_id",
 ]
 
@@ -102,7 +103,7 @@ def test_all_oracle_entries_have_queries(entry_mod):
 
 
 def test_rows_only_queries_run(entry_mod):
-    # er_clusters (model-driven, legitimately no SQL oracle) is exercised by
-    # the e2e/conformance tests; smoke-run nothing else — every other query
-    # is oracle-checked above.
+    # er_clusters (model-driven; self-gated on a committed golden partition
+    # inside the query) is the only rows-only entry; every other query is
+    # oracle-checked above.
     assert set(entry_mod.queries()) - set(entry_mod.oracle_sql()) == {"er_clusters"}
