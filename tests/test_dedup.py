@@ -153,3 +153,21 @@ def test_gram_set_verify_unknown_ids(ray_session):
     assert out[0]["jaccard"] == 0.0  # both unknown
     assert out[1]["jaccard"] == 0.0  # one unknown
     assert out[2]["jaccard"] == 1.0  # both present, both genuinely empty
+
+
+def test_near_dup_attach_mode_parity(ray_session):
+    """broadcast (gram-store) and join (text-riding) verify paths must produce
+    the identical dup-group partition — the same guarantee the ER pipeline's
+    forced-join parity test gives, for the dedup scale path."""
+    from entity_resolution__ray.stages.dedup import minhash_lsh_candidates, near_dup_clusters
+
+    docs = _docs()
+    cands = minhash_lsh_candidates(docs).materialize()
+
+    def partition(ds):
+        df = ds.to_pandas()
+        return {frozenset(g) for _, g in df.groupby("dup_group")["doc_id"]}
+
+    p_b = partition(near_dup_clusters(docs, cands, threshold=0.7, attach_mode="broadcast"))
+    p_j = partition(near_dup_clusters(docs, cands, threshold=0.7, attach_mode="join"))
+    assert p_b == p_j and len(p_b) > 0
