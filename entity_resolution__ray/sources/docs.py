@@ -78,3 +78,39 @@ def read_flat_documents_as_docs(sf_dir: str) -> Dataset:
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
         .map_batches(lift_documents_to_spans, batch_format="pyarrow")
     )
+
+
+def read_records_csv_as_docs(
+    path: str, id_col: str = "id1", text_col: str = "affil1"
+) -> Dataset:
+    """Ingest the reference's record CSV shape (``id1,affil1`` —
+    affiliationstrings_ids.csv; read at run_NER_model.py:24,
+    apply_transitivity.py:80-83) straight into the docs Dataset: a reference
+    user can point this engine at their existing corpus file unchanged."""
+    import pyarrow.compute as pc
+
+    def to_flat(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        texts = t[text_col]
+        if not pa.types.is_string(texts.type):
+            texts = pc.cast(texts, pa.string())
+        return pa.table({"doc_id": ids, "text": pc.fill_null(texts, "")})
+
+    return (
+        rd.read_csv(path)
+        .map_batches(to_flat, batch_format="pyarrow")
+        .map_batches(lift_documents_to_spans, batch_format="pyarrow")
+    )
+
+
+def write_docs(ds: Dataset, path: str) -> str:
+    """Persist a docs Dataset: Lance when the package is present (the
+    ``input_hint`` format), else partitioned Parquet of the identical schema.
+    Returns the path written."""
+    try:
+        import lance  # noqa: F401
+
+        ds.write_lance(path)
+    except ImportError:
+        ds.write_parquet(path)
+    return path

@@ -1,0 +1,57 @@
+"""Tests for document sources/sinks (reference S1/S2: CSV readers at
+run_NER_model.py:24, apply_transitivity.py:80-83; writers at
+run_blocking.py:95-96)."""
+
+import csv
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from entity_resolution__ray.sources.docs import (
+    lift_documents_to_spans,
+    read_docs,
+    read_records_csv_as_docs,
+    write_docs,
+)
+
+
+def test_lift_preserves_text_and_order():
+    long_text = "word " * 40  # >= 64 chars → 3 spans with a media span between
+    t = pa.table({"doc_id": [1, 2], "text": [long_text.strip(), "short"]})
+    out = lift_documents_to_spans(t)
+    rows = out.to_pylist()
+    spans = rows[0]["spans"]
+    assert [s["kind"] for s in spans] == ["text", "media", "text"]
+    assert [s["offset"] for s in spans] == [0, 1, 2]
+    assert "".join(s["text"] for s in spans) == long_text.strip()
+    assert spans[1]["media_ref"] == "media://1/0"
+    assert rows[1]["spans"] == [{"kind": "text", "text": "short", "media_ref": "", "offset": 0}]
+
+
+def test_read_records_csv_as_docs(ray_session, tmp_path):
+    path = str(tmp_path / "affiliationstrings_ids.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id1", "affil1"])
+        w.writerow([7, "IBM Research Lab, NY"])
+        w.writerow([9, "x" * 80])
+    docs = read_records_csv_as_docs(path).take_all()
+    by_id = {r["doc_id"]: r["spans"] for r in docs}
+    assert set(by_id) == {"7", "9"}  # docs schema: doc_id is string
+    assert "".join(s["text"] for s in by_id["7"]) == "IBM Research Lab, NY"
+    assert len(by_id["9"]) == 3  # long text → interleaved media span
+
+
+def test_write_docs_roundtrip(ray_session, tmp_path):
+    t = pa.table({"doc_id": ["a", "b"], "text": ["hello world", "y" * 70]})
+    docs = rd.from_arrow(lift_documents_to_spans(t))
+    out = str(tmp_path / "docs_out")
+    write_docs(docs, out)  # lance absent in this container → parquet mirror
+    back = read_docs(out).take_all()
+    orig = docs.take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(back, key=key) == sorted(orig, key=key)
