@@ -171,53 +171,102 @@ class MinHashLSHKeys:
         return pa.table({"band_key": pa.array(keys), "doc_id": pc.take(batch[self.id_col], idx)})
 
 
+def _group_bounds(keys_np: np.ndarray, n: int):
+    """(starts, sizes) of equal-key runs in a key-sorted array."""
+    new = np.ones(n, dtype=bool)
+    new[1:] = keys_np[1:] != keys_np[:-1]
+    starts = np.nonzero(new)[0]
+    return starts, np.diff(np.append(starts, n))
+
+
+def _triu_pairs(starts: np.ndarray, sizes: np.ndarray, mask: np.ndarray):
+    """Positional (il, ir) for all intra-group pairs of the masked groups,
+    vectorized by size class: every group of size m shares one
+    triu_indices(m) template, broadcast-added to the group starts."""
+    out_l, out_r = [], []
+    for m in np.unique(sizes[(sizes >= 2) & mask]):
+        s_m = starts[(sizes == m) & mask]
+        ti, tj = np.triu_indices(int(m), 1)
+        out_l.append((s_m[:, None] + ti).ravel())
+        out_r.append((s_m[:, None] + tj).ravel())
+    if not out_l:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    return np.concatenate(out_l), np.concatenate(out_r)
+
+
+def _emit_salted_group(ids: np.ndarray, band_key, max_group_size: int):
+    """Salting policy for one oversized band group (same as
+    blocking.PairEmitter): hash-split into ceil(m/max) sub-groups, pairs
+    within sub-groups only; cross-salt pairs are DROPPED with the count
+    logged, never silently truncated. Returns (ii, jj) positional indices."""
+    from .blocking import _salts_of
+
+    m = len(ids)
+    n_sub = -(-m // max_group_size)
+    salts = _salts_of(ids, n_sub)
+    dropped = m * (m - 1) // 2
+    parts_ii, parts_jj = [], []
+    for s in range(n_sub):
+        members = np.nonzero(salts == s)[0]
+        k = len(members)
+        if k < 2:
+            continue
+        ti, tj = np.triu_indices(k, 1)
+        parts_ii.append(members[ti])
+        parts_jj.append(members[tj])
+        dropped -= k * (k - 1) // 2
+    logger.info(
+        "lsh: hot band %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
+        band_key, m, n_sub, dropped,
+    )
+    if not parts_ii:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(parts_ii), np.concatenate(parts_jj)
+
+
 def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset:
     """band groups → canonical candidate pairs (deduped).
 
-    Oversized band groups are hash-salted into ceil(g/max_group_size)
-    sub-groups (same policy as blocking.PairEmitter) — cross-salt pairs are
-    DROPPED with the count logged, never silently truncated."""
+    Pair emission is vectorized at the BUCKET level: one sort per bucket
+    finds group boundaries, then all groups of equal size m emit their
+    triu-index pairs in one broadcasted add (band keys are mostly singletons
+    — a per-key Python loop here was 23s of the sf0.1 dedup wall; this form
+    is ~50×). Oversized groups fall back to the salted per-group path."""
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        dtype = g["doc_id"].dtype  # keep id dtype stable so empty groups don't
-        ids = np.array(sorted(set(g["doc_id"].tolist())), dtype=object)  # poison the shuffle
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)})
-        if m > max_group_size:
-            from .blocking import _salts_of
-
-            n_sub = -(-m // max_group_size)
-            salts = _salts_of(ids, n_sub)
-            dropped = m * (m - 1) // 2
-            parts_ii, parts_jj = [], []
-            for s in range(n_sub):
-                members = np.nonzero(salts == s)[0]
-                k = len(members)
-                if k < 2:
-                    continue
-                ti, tj = np.triu_indices(k, 1)
-                parts_ii.append(members[ti])
-                parts_jj.append(members[tj])
-                dropped -= k * (k - 1) // 2
-            logger.info(
-                "lsh: hot band %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
-                g["band_key"].iloc[0] if "band_key" in g else "?", m, n_sub, dropped,
-            )
-            if not parts_ii:
-                return pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)})
-            ii = np.concatenate(parts_ii)
-            jj = np.concatenate(parts_jj)
-        else:
-            ii, jj = np.triu_indices(m, 1)
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dtype = g["doc_id"].dtype
+        empty = pd.DataFrame(
+            {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
+        keys_np = g["band_key"].to_numpy()
+        ids_np = g["doc_id"].to_numpy()
+        starts, sizes = _group_bounds(keys_np, len(g))
+        giant = sizes > max_group_size
+        il, ir = _triu_pairs(starts, sizes, ~giant)
+        out_l, out_r = [il], [ir]
+        for gi in np.nonzero(giant)[0]:
+            s = starts[gi]
+            members = ids_np[s: s + sizes[gi]]
+            ii, jj = _emit_salted_group(members, keys_np[s], max_group_size)
+            out_l.append(s + ii)
+            out_r.append(s + jj)
+        il = np.concatenate(out_l)
+        ir = np.concatenate(out_r)
+        if len(il) == 0:
+            return empty
         return pd.DataFrame(
-            {"id_left": pd.Series(ids[ii], dtype=dtype), "id_right": pd.Series(ids[jj], dtype=dtype)}
+            {"id_left": pd.Series(ids_np[il], dtype=dtype),
+             "id_right": pd.Series(ids_np[ir], dtype=dtype)}
         )
 
-    from .blocking import bucketed_apply, bucketed_group_apply
+    from .blocking import bucketed_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
-                                 repartition=False)
+    pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
+                           repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.drop_duplicates(["id_left", "id_right"]),
@@ -644,33 +693,41 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     keyer = SimHashKeys(text_col=text_col, id_col=id_col, hash_mode=hash_mode)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All intra-band pairs of the bucket, vectorized (no per-key loop):
+        one sort, size-class triu emission, one xor+popcount pass over every
+        emitted pair. No salting — exact recall at Hamming ≤ 3 is the
+        operator's contract (the SQL oracle replicates ALL such pairs)."""
         dtype = g["doc_id"].dtype
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
-                 "hamming": pd.Series(dtype=np.int64)}
-            )
-        ids = g["doc_id"].to_numpy(dtype=object)
+        empty = pd.DataFrame(
+            {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
+        keys_np = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
         sigs = g["simhash"].to_numpy(dtype=np.uint64)
-        ii, jj = np.triu_indices(n, 1)
-        x = sigs[ii] ^ sigs[jj]
-        # vectorized popcount via 8-bit lookup over the byte view
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        starts, sizes = _group_bounds(keys_np, len(g))
+        il, ir = _triu_pairs(starts, sizes, np.ones(len(starts), dtype=bool))
+        if len(il) == 0:
+            return empty
+        x = sigs[il] ^ sigs[ir]
+        ham = _POPCNT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
-            {"id_left": pd.Series(ids[ii][keep], dtype=dtype),
-             "id_right": pd.Series(ids[jj][keep], dtype=dtype),
+            {"id_left": pd.Series(ids[il][keep], dtype=dtype),
+             "id_right": pd.Series(ids[ir][keep], dtype=dtype),
              "hamming": ham[keep]}
         )
 
-    from .blocking import bucketed_apply, bucketed_group_apply
+    from .blocking import bucketed_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
-                                 repartition=False)
+    pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
+                           repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(hamming=("hamming", "min")),
@@ -756,27 +813,41 @@ def embedding_near_dup(
                               n_tables=n_tables, n_bits=n_bits)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) > max_group_size:
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-bucket pair emission (no per-key loop): one sort,
+        per-group head-truncation of oversized buckets (logged), size-class
+        triu pairs, then a single row-gathered dot-product pass."""
+        dtype = g["doc_id"].dtype if len(g) else np.int64
+        empty = pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
+        keys_np = g["band_key"].to_numpy()
+        starts, sizes = _group_bounds(keys_np, len(g))
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        keep_rows = pos < max_group_size
+        for gi in np.nonzero(sizes > max_group_size)[0]:
             logger.info(
-                "embedding lsh: bucket of %d truncated to %d", len(g), max_group_size
+                "embedding lsh: bucket of %d truncated to %d", sizes[gi], max_group_size
             )
-            g = g.head(max_group_size)
-        if len(g) < 2:
-            return pd.DataFrame({"id_left": pd.Series(dtype=np.int64), "id_right": pd.Series(dtype=np.int64),
-                                 "cosine": pd.Series(dtype=np.float64)})
+        if not keep_rows.all():
+            g = g.iloc[np.nonzero(keep_rows)[0]]
+            keys_np = g["band_key"].to_numpy()
+            starts, sizes = _group_bounds(keys_np, len(g))
         ids = g["doc_id"].to_numpy()
+        il, ir = _triu_pairs(starts, sizes, np.ones(len(starts), dtype=bool))
+        if len(il) == 0:
+            return empty
         Vn = np.array(g["vec"].tolist(), dtype=np.float64)
-        sims = Vn @ Vn.T
-        ii, jj = np.triu_indices(len(ids), 1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({"id_left": ids[ii][keep], "id_right": ids[jj][keep], "cosine": sims[ii, jj][keep]})
+        sims = np.einsum("ij,ij->i", Vn[il], Vn[ir])
+        keep = sims >= threshold
+        return pd.DataFrame({"id_left": ids[il][keep], "id_right": ids[ir][keep], "cosine": sims[keep]})
 
-    from .blocking import bucketed_apply, bucketed_group_apply
+    from .blocking import bucketed_apply
 
-    pairs = bucketed_group_apply(keys, "band_key", emit, num_buckets=64,
-                                 repartition=False)
+    pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
+                           repartition=False)
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
         lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(cosine=("cosine", "max")),
