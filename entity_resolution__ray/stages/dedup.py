@@ -171,28 +171,8 @@ class MinHashLSHKeys:
         return pa.table({"band_key": pa.array(keys), "doc_id": pc.take(batch[self.id_col], idx)})
 
 
-def _group_bounds(keys_np: np.ndarray, n: int):
-    """(starts, sizes) of equal-key runs in a key-sorted array."""
-    new = np.ones(n, dtype=bool)
-    new[1:] = keys_np[1:] != keys_np[:-1]
-    starts = np.nonzero(new)[0]
-    return starts, np.diff(np.append(starts, n))
-
-
-def _triu_pairs(starts: np.ndarray, sizes: np.ndarray, mask: np.ndarray):
-    """Positional (il, ir) for all intra-group pairs of the masked groups,
-    vectorized by size class: every group of size m shares one
-    triu_indices(m) template, broadcast-added to the group starts."""
-    out_l, out_r = [], []
-    for m in np.unique(sizes[(sizes >= 2) & mask]):
-        s_m = starts[(sizes == m) & mask]
-        ti, tj = np.triu_indices(int(m), 1)
-        out_l.append((s_m[:, None] + ti).ravel())
-        out_r.append((s_m[:, None] + tj).ravel())
-    if not out_l:
-        z = np.empty(0, dtype=np.int64)
-        return z, z.copy()
-    return np.concatenate(out_l), np.concatenate(out_r)
+from .blocking import group_bounds as _group_bounds  # noqa: E402
+from .blocking import triu_pairs_by_size as _triu_pairs  # noqa: E402
 
 
 def _emit_salted_group(ids: np.ndarray, band_key, max_group_size: int):
@@ -445,7 +425,9 @@ def _intersect_sorted_sets(values: np.ndarray, offs: np.ndarray,
         within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(widths) - widths, widths)
         M[rows, col_off[rows] + within] = values[np.repeat(starts, widths) + within]
 
-    bounds = (64, 256, 1024, 4096, 16384)
+    # 16/32 classes matter for token-set jaccard (blocking pair emission):
+    # ~8-token sides would pad 4× into a 64-wide scratch otherwise
+    bounds = (16, 32, 64, 256, 1024, 4096, 16384)
     lo = 0
     for hi in bounds + (None,):
         mask = (tot > lo) & (tot <= hi) if hi is not None else tot > lo

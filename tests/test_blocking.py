@@ -183,3 +183,37 @@ def test_pipeline_knn_blocking_mode(ray_session):
     recall = len(got & pos) / max(len(pos), 1)
     assert recall >= 0.9, recall
     assert out["clusters_cc"].count() > 0
+
+
+def test_pair_emitter_bucket_matches_per_key():
+    """PairEmitterBucket (bucket-vectorized emission used by candidate_pairs)
+    must equal the per-key PairEmitter ground truth — pairs, sims AND top-k
+    tie-break selections — on a bucket mixing small keys, a key needing
+    salting, shared docs across keys, and an empty-text doc."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution__ray.stages.blocking import PairEmitter, PairEmitterBucket
+
+    rng = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for key, n in [("ka", 5), ("kb", 2), ("kc", 1), ("kd", 40)]:
+        for d in range(n):
+            doc = int(rng.randint(0, 10_000))
+            text = " ".join(rng.choice(words, size=rng.randint(0, 8), replace=False))
+            rows.append({"block_key": key, "doc_id": doc, "norm_text": text})
+    rows.append({"block_key": "ka", "doc_id": rows[0]["doc_id"], "norm_text": rows[0]["norm_text"]})
+    g = pd.DataFrame(rows)
+
+    kwargs = dict(max_group_size=16, per_doc_topk=3)  # kd (40 docs) gets salted
+    old_parts = [
+        PairEmitter(**kwargs)(sub) for _, sub in g.groupby("block_key", sort=False)
+    ]
+    old = pd.concat([p for p in old_parts if len(p)], ignore_index=True)
+    new = PairEmitterBucket(**kwargs)(g)
+
+    key_cols = ["block_key", "id_left", "id_right"]
+    old_s = old.sort_values(key_cols).reset_index(drop=True)
+    new_s = new.sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(old_s[key_cols + ["sim"]], new_s[key_cols + ["sim"]])
