@@ -8,9 +8,12 @@ plus the training-data operators (dedup / similarity / text analysis); each
 takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
 
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-(same column names, floats rounded identically on both sides). Non-SQL
-operators (MinHash-LSH, SimHash, IVF, language-ID, the full ER pipeline)
-deliberately have no oracle → the driver records a rows-only check.
+(same column names, floats rounded identically on both sides). 23 of the 24
+queries carry exact oracles — including MinHash-LSH (recursive-CTE Jaccard
+closure), SimHash (md5-replicable signatures), IVF (all-cells probe = exact
+recall) and language-ID (SQL replica generated from the same profile dict).
+Only ``er_clusters`` (a trained classifier) is rows-only, and it self-gates
+on a committed golden partition + pairwise-F1 floor (see _er_fixture_gate).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
