@@ -22,8 +22,15 @@ calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# The package lives next to this file; make the import robust to the driver's
+# cwd (the module may be exec'd by path from anywhere).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 import numpy as np
 import pyarrow as pa
