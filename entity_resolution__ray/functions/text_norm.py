@@ -98,7 +98,9 @@ def distinct_tokens_flat(tokens_list: pa.ChunkedArray | pa.Array) -> pa.Array:
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     codes, uniq = pd.factorize(flat)
     keep = np.array([u != "" for u in uniq], dtype=bool) if len(uniq) else np.zeros(0, dtype=bool)
-    mask = keep[codes] if len(codes) else np.zeros(0, dtype=bool)
+    # null list elements factorize to -1, which would wrap to the LAST vocab
+    # token under fancy indexing — exclude them explicitly
+    mask = (codes >= 0) & keep[codes] if len(codes) else np.zeros(0, dtype=bool)
     rows, codes = rows[mask], codes[mask].astype(np.int64)
     if len(codes) == 0:
         return pa.array([], type=pa.string())

@@ -71,6 +71,12 @@ def _country_masks(a: pa.Array, b: pa.Array):
         M = np.zeros((n, n_words), dtype=np.uint64)
         if len(codes):
             rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            # null list elements factorize to -1 and would scatter a phantom
+            # bit into word -1 / bit 63, making two null-bearing rows share a
+            # fake country — drop them before the scatter
+            valid = codes >= 0
+            if not valid.all():
+                rows, codes = rows[valid], codes[valid]
             np.bitwise_or.at(
                 M, (rows, codes // 64), np.uint64(1) << (codes % 64).astype(np.uint64)
             )
@@ -164,10 +170,11 @@ class ConstraintVerdict:
                 ca_list = pc.take(a, pa.array(idx)).to_pylist()
                 cb_list = pc.take(b, pa.array(idx)).to_pylist()
                 for i, ca, cb in zip(idx, ca_list, cb_list):
-                    reason[i] = (
-                        f"geo_mismatch:{';'.join(sorted(set(ca or ())))}"
-                        f"|{';'.join(sorted(set(cb or ())))}"
-                    )
+                    # null list elements carry no geo signal (mirrors the
+                    # codes>=0 filter in _country_masks)
+                    sa = sorted({c for c in (ca or ()) if c is not None})
+                    sb = sorted({c for c in (cb or ()) if c is not None})
+                    reason[i] = f"geo_mismatch:{';'.join(sa)}|{';'.join(sb)}"
 
         if self.use_token_overlap and n:
             jac, na, nb = _token_jaccard_batch(

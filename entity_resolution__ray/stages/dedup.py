@@ -492,16 +492,28 @@ class GramSetVerify:
         return batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
 
 
-def _resolve_dedup_attach_mode(ds: Dataset, text_col: str, broadcast_max_fraction: float = 0.25) -> str:
+def _resolve_dedup_attach_mode(
+    ds: Dataset,
+    text_col: str,
+    broadcast_max_fraction: float = 0.25,
+    n_rows: int | None = None,
+    mean_text: float | None = None,
+) -> str:
     """Sizing probe for the verify path: the broadcast gram store holds one
     uint64 per distinct shingle per doc (≤ 8 B/char for char-4 grams, before
     per-doc dedup) plus the id index. Flip to the join path when that exceeds
-    the object-store budget (same policy as er_pipeline.resolve_scale_paths)."""
+    the object-store budget (same policy as er_pipeline.resolve_scale_paths).
+
+    Callers that already know the corpus size pass ``n_rows``/``mean_text`` so
+    the probe costs nothing; otherwise the count + sample each execute the
+    (ideally already-materialized) upstream once."""
     import ray
 
-    n_rows = ds.count()
-    sample = ds.select_columns([text_col]).limit(1024).take_all()
-    mean_text = float(np.mean([len(r[text_col] or "") for r in sample])) if sample else 0.0
+    if n_rows is None:
+        n_rows = ds.count()
+    if mean_text is None:
+        sample = ds.select_columns([text_col]).limit(1024).take_all()
+        mean_text = float(np.mean([len(r[text_col] or "") for r in sample])) if sample else 0.0
     est = n_rows * (mean_text * 8.0 + 64.0)
     store = float(ray.cluster_resources().get("object_store_memory", 0.0)) or 2.0**31
     mode = "broadcast" if est <= broadcast_max_fraction * store else "join"
@@ -521,6 +533,8 @@ def near_dup_clusters(
     shingle: str = "char4",
     num_partitions: int = 8,
     attach_mode: str = "auto",
+    probe_rows: int | None = None,
+    probe_mean_text: float | None = None,
 ) -> Dataset:
     """Verify candidates by exact shingle-Jaccard ≥ threshold, close
     transitively, and emit (doc_id, dup_group, group_size); dup_group = min
@@ -528,9 +542,18 @@ def near_dup_clusters(
     against a per-worker store of pre-hashed doc shingle sets (each doc
     hashed once, not once per pair); ``attach_mode="join"`` is the
     beyond-object-store path (texts ride with pairs via distributed join);
-    ``attach_mode="auto"`` (default) picks by the gram-store sizing probe."""
+    ``attach_mode="auto"`` (default) picks by the gram-store sizing probe.
+    In auto mode a lazy ``ds`` is materialized ONCE before probing (the probe
+    needs a count + sample and the verify stage re-reads docs — without this
+    a lazy upstream would execute three times); pass ``probe_rows`` /
+    ``probe_mean_text`` to skip both the probe executions and the
+    materialization when the stats are already known."""
     if attach_mode == "auto":
-        attach_mode = _resolve_dedup_attach_mode(ds, text_col)
+        if probe_rows is None or probe_mean_text is None:
+            ds = ds.materialize()
+        attach_mode = _resolve_dedup_attach_mode(
+            ds, text_col, n_rows=probe_rows, mean_text=probe_mean_text
+        )
     if attach_mode == "broadcast":
         refs = build_gram_set_refs(ds, text_col=text_col, id_col=id_col, shingle=shingle)
         key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{shingle}"

@@ -170,7 +170,15 @@ class TokenCount:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Vectorized: ``\\w+|[^\\w\\s]`` decomposes into word runs (each worth
         ceil(len/4) units) plus single non-word-non-space chars (1 unit each)
-        — two Arrow regex passes instead of a per-row findall loop."""
+        — two Arrow regex passes instead of a per-row findall loop.
+
+        INTENTIONAL semantics note: Arrow's regex engine is RE2, whose ``\\w``
+        / ``\\W`` / ``\\s`` are ASCII (unlike Python ``re``'s unicode ``\\w``).
+        A non-ASCII word like 'café' therefore counts as word+punct units here.
+        This is deliberate oracle alignment: the DuckDB oracle
+        (``oracle_sql()['token_counts']``) evaluates the SAME pattern under
+        RE2/ASCII, so both sides agree byte-for-byte (same rationale as
+        punct_ratio in quality_features)."""
         n = batch.num_rows
         texts = pc.fill_null(batch[self.text_col].combine_chunks(), "")
         trimmed = pc.utf8_trim_whitespace(texts)

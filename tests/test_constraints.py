@@ -71,3 +71,22 @@ def test_threshold_and_split(ray_session):
 def test_threshold_filter_boundary(ray_session):
     ds = rd.from_arrow(pa.table({"id_left": ["a"], "id_right": ["b"], "prob_match": [0.45]}))
     assert threshold_filter(ds, 0.45).count() == 1  # >= keeps the boundary
+
+
+def test_geo_verdict_null_country_elements_do_not_create_phantom_overlap():
+    # a null element inside a countries list factorizes to -1; before the fix
+    # it scattered a phantom bit shared by every null-bearing row, letting two
+    # geo-disjoint rows silently escape the drop (ADVICE r3)
+    t = pa.table(
+        {
+            "id_left": ["a", "b"],
+            "id_right": ["x", "y"],
+            "prob_match": [0.9, 0.9],
+            "src_countries": pa.array([["japan", None], ["france", None]], type=pa.list_(pa.string())),
+            "cand_countries": pa.array([["canada", None], [None, "france"]], type=pa.list_(pa.string())),
+        }
+    )
+    out = ConstraintVerdict(use_geo=True)(t).to_pylist()
+    by_pair = {(r["id_left"], r["id_right"]): r for r in out}
+    assert not by_pair[("a", "x")]["keep"]  # japan vs canada: disjoint despite shared null
+    assert by_pair[("b", "y")]["keep"]  # france overlaps for real

@@ -32,6 +32,54 @@ def test_lift_preserves_text_and_order():
     assert rows[1]["spans"] == [{"kind": "text", "text": "short", "media_ref": "", "offset": 0}]
 
 
+def test_lift_vectorized_edge_cases():
+    # no-space long text (fallback cut), multi-byte chars around the fallback
+    # boundary, empty text, null text, and a space at position 0
+    cases = [
+        "x" * 100,                      # no space → cut at half
+        ("é" * 40) + " tail",           # multi-byte; space after half
+        "é" * 64,                        # multi-byte, no space → boundary-adjusted cut
+        "",                              # empty
+        None,                            # null → ""
+        " " + "y" * 70,                 # only space at position 0 → rfind<=0 → half
+        "café münchen " * 8,            # mixed multi-byte with spaces
+    ]
+    t = pa.table({"doc_id": [str(i) for i in range(len(cases))], "text": cases})
+    out = lift_documents_to_spans(t).to_pylist()
+    for row, text in zip(out, cases):
+        text = text or ""
+        spans = row["spans"]
+        joined = "".join(s["text"] for s in spans)
+        assert joined == text  # byte-exact round trip incl. multi-byte
+        kinds = [s["kind"] for s in spans]
+        if len(text.encode()) >= 64:
+            assert kinds == ["text", "media", "text"]
+            assert spans[1]["media_ref"] == f"media://{row['doc_id']}/0"
+            assert [s["offset"] for s in spans] == [0, 1, 2]
+        else:
+            assert kinds == ["text"]
+            assert spans[0]["media_ref"] == ""
+
+
+def test_lift_on_sliced_and_chunked_input():
+    # exercise nonzero array offsets (sliced batch) and chunked columns
+    texts = ["pad row", "word " * 20, "short", None, "z" * 80]
+    t = pa.table({"doc_id": list(range(5)), "text": texts}).slice(1, 4)
+    out = lift_documents_to_spans(t).to_pylist()
+    assert len(out) == 4
+    assert "".join(s["text"] for s in out[0]["spans"]) == ("word " * 20)
+    chunked = pa.table(
+        {
+            "doc_id": pa.chunked_array([[1, 2], [3]]),
+            "text": pa.chunked_array([["a" * 70, "b"], ["c d " * 30]]),
+        }
+    )
+    rows = lift_documents_to_spans(chunked).to_pylist()
+    assert [len(r["spans"]) for r in rows] == [3, 1, 3]
+    for r, txt in zip(rows, ["a" * 70, "b", "c d " * 30]):
+        assert "".join(s["text"] for s in r["spans"]) == txt
+
+
 def test_read_records_csv_as_docs(ray_session, tmp_path):
     path = str(tmp_path / "affiliationstrings_ids.csv")
     with open(path, "w", newline="") as f:

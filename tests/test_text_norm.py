@@ -49,3 +49,16 @@ def test_fill_str():
     assert tn.fill_str(arr).to_pylist() == ["a", "", "b"]
     nums = pa.array([1, None, 3])
     assert tn.fill_str(nums).to_pylist() == ["1", "", "3"]
+
+
+def test_distinct_tokens_flat_null_elements():
+    # null list elements factorize to -1; before the fix they wrapped to the
+    # LAST vocab token, emitting a phantom duplicate (ADVICE r3)
+    col = pa.array([["a", None, "b"], [None], ["b", "b", ""]], type=pa.list_(pa.string()))
+    out = sorted(tn.distinct_tokens_flat(col).to_pylist())
+    assert out == ["a", "b", "b"]  # per-row distinct; no phantom extra 'b', no None/""
+
+
+def test_distinct_tokens_flat_all_null_rows():
+    col = pa.array([None, None], type=pa.list_(pa.string()))
+    assert tn.distinct_tokens_flat(col).to_pylist() == []
