@@ -367,12 +367,28 @@ def evaluate_pairwise_f1(
     edges: Dataset,
     golden_pairs: pa.Table,
     candidate_pairs_ds: Dataset,
+    max_driver_pairs: int = 5_000_000,
 ) -> Dict[str, float]:
     """Pairwise F1 on labeled pairs *at matched blocking keys* — i.e. restricted
     to golden pairs that co-occur in some block (BASELINE.json metric).
 
     Golden pairs never surfaced by blocking are excluded (they share no key, so
-    no engine run could score them — 'evaluated at identical blocking keys')."""
+    no engine run could score them — 'evaluated at identical blocking keys').
+
+    This is a fixture/conformance EVALUATION utility: it collects the
+    candidate-pair and edge sets on the driver. ``max_driver_pairs`` raises
+    instead of OOM-ing when a caller points it at a corpus-scale run (same
+    gate pattern as graph_viz.louvain_communities); compute TP/FP via a
+    distributed join on (id_left, id_right) at that scale instead."""
+    n_cand = candidate_pairs_ds.count()
+    n_edges = edges.count()
+    if n_cand > max_driver_pairs or n_edges > max_driver_pairs:
+        raise ValueError(
+            f"evaluate_pairwise_f1 collects pairs on the driver; got "
+            f"{n_cand} candidates / {n_edges} edges > max_driver_pairs="
+            f"{max_driver_pairs}. Evaluate on a sampled fixture, or raise "
+            f"max_driver_pairs explicitly if the driver has the memory."
+        )
     cand = {
         (l, r)
         for l, r in zip(

@@ -124,26 +124,45 @@ class BlockKeyEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         norm = pc.fill_null(batch["norm_text"], "")
-        key_arrays: List[np.ndarray] = []
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        key_arrays: List[pa.Array] = []
         row_arrays: List[np.ndarray] = []
         if self.use_token_keys and n:
-            # distinct per-doc tokens via one explode (no per-row Python)
-            toks = (
-                pd.Series(norm.to_pandas(), copy=False).str.split(" ").explode().dropna()
-            )
-            toks = toks[toks.str.len() >= self.min_token_len]
+            # distinct per-doc tokens via one Arrow explode + dictionary
+            # encode — token strings never round-trip through pandas objects;
+            # the "t:" prefix is applied to the (small) DICTIONARY only
+            lst = pc.split_pattern(norm, " ")
+            lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lst)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keep = pc.greater_equal(pc.utf8_length(flat), self.min_token_len)
             if self.stop_tokens:
-                toks = toks[~toks.isin(self.stop_tokens)]
-            dedup = pd.DataFrame({"row": toks.index.to_numpy(), "tok": toks.to_numpy()}).drop_duplicates()
-            key_arrays.append(np.char.add("t:", dedup["tok"].to_numpy(dtype="U")))
-            row_arrays.append(dedup["row"].to_numpy(dtype=np.int64))
+                keep = pc.and_(
+                    keep,
+                    pc.invert(pc.is_in(flat, value_set=pa.array(sorted(self.stop_tokens)))),
+                )
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            rows = rows[keep_np]
+            denc = flat.filter(keep).dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(codes):
+                V = len(denc.dictionary)
+                combo = np.unique(rows * V + codes)  # distinct (row, token)
+                prefixed = pc.binary_join_element_wise(
+                    "t:", pc.cast(denc.dictionary, pa.string()), ""
+                )
+                key_arrays.append(pc.take(prefixed, pa.array(combo % V, type=pa.int64())))
+                row_arrays.append(combo // V)
         if self.hasher is not None and n:
             gh, counts = qgram_hashes_batch(norm, self.qgram_size)
             sigs = minhash_signatures_batch(gh, counts, self.hasher.a, self.hasher.b)
             bands = band_keys_batch(sigs, self.n_bands, self.r)  # (n, n_bands)
             hexes = u64_to_hex_strings(bands.ravel()).reshape(n, self.n_bands)
             prefixes = np.array([f"q{b}:" for b in range(self.n_bands)], dtype="U4")
-            key_arrays.append(np.char.add(np.broadcast_to(prefixes, (n, self.n_bands)), hexes).ravel())
+            key_arrays.append(
+                pa.array(np.char.add(np.broadcast_to(prefixes, (n, self.n_bands)), hexes).ravel())
+            )
             row_arrays.append(np.repeat(np.arange(n, dtype=np.int64), self.n_bands))
         if not key_arrays:
             return pa.table(
@@ -151,12 +170,12 @@ class BlockKeyEmitter:
                  "doc_id": pa.array([], type=pa.string()),
                  "norm_text": pa.array([], type=pa.string())}
             )
-        keys = np.concatenate(key_arrays)
+        keys = pa.concat_arrays([pc.cast(a, pa.string()) for a in key_arrays])
         rows = np.concatenate(row_arrays)
         idx = pa.array(rows, type=pa.int64())
         return pa.table(
             {
-                "block_key": pa.array(keys),
+                "block_key": keys,
                 "doc_id": pc.take(batch["doc_id"], idx),
                 "norm_text": pc.take(norm, idx),
             }
@@ -188,6 +207,38 @@ def group_bounds(keys_np: np.ndarray, n: int):
     new[1:] = keys_np[1:] != keys_np[:-1]
     starts = np.nonzero(new)[0]
     return starts, np.diff(np.append(starts, n))
+
+
+def key_sorted_dedup_arrow(t: pa.Table, key_col: str, id_col: str):
+    """Arrow-native analogue of ``DataFrame.drop_duplicates([key, id])
+    .sort_values([key, id])`` for the bucket pair emitters: dictionary-encode
+    the key column (per-row key STRINGS are never materialized as Python
+    objects — the pandas conversion doing exactly that dominated pair
+    emission at millions of rows), stably lexsort by (key code, id), and keep
+    the first of each (key, id) run. Group contiguity and within-group id
+    order — all that pair emission and top-k ranking depend on — are
+    preserved; only the (irrelevant) relative order of different keys
+    changes vs the old string sort.
+
+    Returns ``(key_codes, ids_np, take_idx, key_dictionary)`` where
+    ``take_idx`` indexes the ORIGINAL table rows (for gathering extra
+    columns like texts/signatures/vectors)."""
+    karr = t[key_col]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    denc = karr if pa.types.is_dictionary(karr.type) else karr.dictionary_encode()
+    kcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    kdict = denc.dictionary
+    idc = t[id_col]
+    if isinstance(idc, pa.ChunkedArray):
+        idc = idc.combine_chunks()
+    ids_np = idc.to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids_np, kcodes))
+    kc, idv = kcodes[order], ids_np[order]
+    keep = np.ones(len(kc), dtype=bool)
+    if len(kc) > 1:
+        keep[1:] = (kc[1:] != kc[:-1]) | (idv[1:] != idv[:-1])
+    return kc[keep], idv[keep], order[keep], kdict
 
 
 def triu_pairs_by_size(starts: np.ndarray, sizes: np.ndarray, mask: np.ndarray):
@@ -316,7 +367,11 @@ class PairEmitterBucket:
     sims and per-doc top-k selections (tie-breaks included) for every
     block-key group in one hash bucket, without a Python loop over keys —
     keys are mostly small groups, and at corpus scale a per-key loop is
-    millions of pandas sub-frames per bucket.
+    millions of pandas sub-frames per bucket. Operates on Arrow tables
+    (``bucketed_apply(batch_format="pyarrow")``): block keys stay
+    dictionary-encoded codes end to end, so per-row key strings are never
+    materialized as Python objects (texts/ids still are — the Jaccard set
+    kernel and canonical min/max need them).
 
     Tie-break parity argument: positions are assigned by one
     (block_key, doc_id) mergesort, so within a group the size-class triu
@@ -329,20 +384,17 @@ class PairEmitterBucket:
         self.max_group_size = max_group_size
         self.per_doc_topk = per_doc_topk
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_left": pd.Series(dtype=object), "id_right": pd.Series(dtype=object),
-             "block_key": pd.Series(dtype=object), "sim": pd.Series(dtype=np.float64)}
+    def __call__(self, g: pa.Table) -> pa.Table:
+        id_type = g.schema.field("doc_id").type
+        empty = pa.table(
+            {"id_left": pa.array([], type=id_type), "id_right": pa.array([], type=id_type),
+             "block_key": pa.array([], type=pa.string()), "sim": pa.array([], type=pa.float64())}
         )
-        if len(g) == 0:
+        if g.num_rows == 0:
             return empty
-        g = g.drop_duplicates(["block_key", "doc_id"]).sort_values(
-            ["block_key", "doc_id"], kind="mergesort"
-        )
-        keys_np = g["block_key"].to_numpy()
-        ids = g["doc_id"].to_numpy(dtype=object)
-        texts = g["norm_text"].tolist()
-        starts, sizes = group_bounds(keys_np, len(g))
+        kc, ids, take_idx, kdict = key_sorted_dedup_arrow(g, "block_key", "doc_id")
+        texts = pc.take(g["norm_text"], pa.array(take_idx)).to_pylist()
+        starts, sizes = group_bounds(kc, len(kc))
         giant = sizes > self.max_group_size
         il, ir = triu_pairs_by_size(starts, sizes, ~giant)
         order = np.lexsort((ir, il))  # per-group triu order (rank-tie parity)
@@ -364,7 +416,7 @@ class PairEmitterBucket:
                 dropped -= k * (k - 1) // 2
             logger.info(
                 "blocking: hot key %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
-                keys_np[s], m, n_sub, dropped,
+                kdict[int(kc[s])].as_py(), m, n_sub, dropped,
             )
             if pi:
                 parts_l.append(s + np.concatenate(pi))
@@ -398,8 +450,15 @@ class PairEmitterBucket:
         b = ids[ir]
         lo = np.where(a < b, a, b)
         hi = np.where(a < b, b, a)
-        return pd.DataFrame(
-            {"id_left": lo, "id_right": hi, "block_key": keys_np[il], "sim": sim}
+        return pa.table(
+            {
+                "id_left": pa.array(lo, type=id_type),
+                "id_right": pa.array(hi, type=id_type),
+                # key strings come back only for EMITTED pairs, via one
+                # dictionary take — never per input row
+                "block_key": pc.take(kdict, pa.array(kc[il], type=pa.int64())),
+                "sim": pa.array(sim, type=pa.float64()),
+            }
         )
 
 
@@ -505,7 +564,8 @@ def candidate_pairs(
     truth it is equality-tested against)."""
     emitter = PairEmitterBucket(max_group_size=max_group_size, per_doc_topk=per_doc_topk)
     pairs = bucketed_apply(block_keys, ["block_key"], emitter,
-                           num_buckets=num_buckets, repartition=repartition)
+                           num_buckets=num_buckets, repartition=repartition,
+                           batch_format="pyarrow")
 
     def collapse(g: pa.Table) -> pa.Table:
         out = g.group_by(["id_left", "id_right"]).aggregate(

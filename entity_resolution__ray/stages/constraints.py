@@ -86,30 +86,38 @@ def _country_masks(a: pa.Array, b: pa.Array):
 
 
 def _token_jaccard_batch(a_col, b_col, stopwords: Set[str]):
-    """Stopword-aware token-set Jaccard per row, fully vectorized (explode →
-    joint factorize → per-row dedup → merged-stream intersection; the same
-    two-lexsort kernel as dedup.JaccardVerify). Returns (jaccard, |A|, |B|);
-    jaccard is 0 where either side is empty (callers never prune those —
-    token_overlap_constraint.py:63-65)."""
-    import pandas as pd
-
+    """Stopword-aware token-set Jaccard per row, fully vectorized and
+    Arrow-native (split/flatten/is_in in Arrow kernels, token vocabulary via
+    dictionary_encode — token strings are never materialized as Python
+    objects; the old path round-tripped both text columns through pandas).
+    Explode → joint encode → per-row dedup → merged-stream intersection (the
+    same two-lexsort kernel as dedup.JaccardVerify). Returns
+    (jaccard, |A|, |B|); jaccard is 0 where either side is empty (callers
+    never prune those — token_overlap_constraint.py:63-65)."""
     n = len(a_col)
-    sa = pc.fill_null(a_col.combine_chunks(), "").to_pandas()
-    sb = pc.fill_null(b_col.combine_chunks(), "").to_pandas()
+    stop_arr = pa.array(sorted(stopwords), type=pa.string()) if stopwords else None
 
-    def toks_of(s):
-        t = pd.Series(s, copy=False).str.split(" ").explode()
-        t = t[t.notna() & t.ne("")]
-        if stopwords:
-            t = t[~t.isin(stopwords)]
-        return t.index.to_numpy(dtype=np.int64), t.to_numpy(dtype=object)
+    def toks_of(col):
+        s = pc.fill_null(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, ""
+        )
+        lst = pc.split_pattern(s, " ")
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lst)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        if stop_arr is not None:
+            keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=stop_arr)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        return rows[keep_np], flat.filter(keep)
 
-    ra, va = toks_of(sa)
-    rb, vb = toks_of(sb)
-    codes_all, _ = pd.factorize(np.concatenate([va, vb]))
+    ra, va = toks_of(a_col)
+    rb, vb = toks_of(b_col)
+    joint = pa.concat_arrays([va, vb]).dictionary_encode()
+    codes_all = joint.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     V = int(codes_all.max()) + 1 if len(codes_all) else 1
-    ca = codes_all[: len(va)].astype(np.int64)
-    cb = codes_all[len(va):].astype(np.int64)
+    ca = codes_all[: len(va)]
+    cb = codes_all[len(va):]
 
     def dedupe(rows, codes):
         if len(rows) == 0:

@@ -172,6 +172,7 @@ class MinHashLSHKeys:
 
 
 from .blocking import group_bounds as _group_bounds  # noqa: E402
+from .blocking import key_sorted_dedup_arrow as _key_sorted_dedup  # noqa: E402
 from .blocking import triu_pairs_by_size as _triu_pairs  # noqa: E402
 
 
@@ -214,43 +215,41 @@ def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset
     — a per-key Python loop here was 23s of the sf0.1 dedup wall; this form
     is ~50×). Oversized groups fall back to the salted per-group path."""
 
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        dtype = g["doc_id"].dtype
-        empty = pd.DataFrame(
-            {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype)}
+    def emit_bucket(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field("doc_id").type
+        empty = pa.table(
+            {"id_left": pa.array([], type=id_type), "id_right": pa.array([], type=id_type)}
         )
-        if len(g) == 0:
+        if g.num_rows == 0:
             return empty
-        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
-        keys_np = g["band_key"].to_numpy()
-        ids_np = g["doc_id"].to_numpy()
-        starts, sizes = _group_bounds(keys_np, len(g))
+        kc, ids_np, _, kdict = _key_sorted_dedup(g, "band_key", "doc_id")
+        starts, sizes = _group_bounds(kc, len(kc))
         giant = sizes > max_group_size
         il, ir = _triu_pairs(starts, sizes, ~giant)
         out_l, out_r = [il], [ir]
         for gi in np.nonzero(giant)[0]:
             s = starts[gi]
             members = ids_np[s: s + sizes[gi]]
-            ii, jj = _emit_salted_group(members, keys_np[s], max_group_size)
+            ii, jj = _emit_salted_group(members, kdict[int(kc[s])].as_py(), max_group_size)
             out_l.append(s + ii)
             out_r.append(s + jj)
         il = np.concatenate(out_l)
         ir = np.concatenate(out_r)
         if len(il) == 0:
             return empty
-        return pd.DataFrame(
-            {"id_left": pd.Series(ids_np[il], dtype=dtype),
-             "id_right": pd.Series(ids_np[ir], dtype=dtype)}
+        return pa.table(
+            {"id_left": pa.array(ids_np[il], type=id_type),
+             "id_right": pa.array(ids_np[ir], type=id_type)}
         )
 
     from .blocking import bucketed_apply
 
     pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
-                           repartition=False)
+                           repartition=False, batch_format="pyarrow")
     return bucketed_apply(
         pairs, ["id_left", "id_right"],
-        lambda g: g.drop_duplicates(["id_left", "id_right"]),
-        num_buckets=64,
+        lambda g: g.group_by(["id_left", "id_right"]).aggregate([]),
+        num_buckets=64, batch_format="pyarrow",
     )
 
 
@@ -700,43 +699,48 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
 
     _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_bucket(g: pa.Table) -> pa.Table:
         """All intra-band pairs of the bucket, vectorized (no per-key loop):
         one sort, size-class triu emission, one xor+popcount pass over every
         emitted pair. No salting — exact recall at Hamming ≤ 3 is the
         operator's contract (the SQL oracle replicates ALL such pairs)."""
-        dtype = g["doc_id"].dtype
-        empty = pd.DataFrame(
-            {"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
-             "hamming": pd.Series(dtype=np.int64)}
+        id_type = g.schema.field("doc_id").type
+        empty = pa.table(
+            {"id_left": pa.array([], type=id_type), "id_right": pa.array([], type=id_type),
+             "hamming": pa.array([], type=pa.int64())}
         )
-        if len(g) == 0:
+        if g.num_rows == 0:
             return empty
-        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
-        keys_np = g["band_key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        sigs = g["simhash"].to_numpy(dtype=np.uint64)
-        starts, sizes = _group_bounds(keys_np, len(g))
+        kc, ids, take_idx, _ = _key_sorted_dedup(g, "band_key", "doc_id")
+        sigs = (
+            pc.take(g["simhash"], pa.array(take_idx))
+            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        starts, sizes = _group_bounds(kc, len(kc))
         il, ir = _triu_pairs(starts, sizes, np.ones(len(starts), dtype=bool))
         if len(il) == 0:
             return empty
         x = sigs[il] ^ sigs[ir]
         ham = _POPCNT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"id_left": pd.Series(ids[il][keep], dtype=dtype),
-             "id_right": pd.Series(ids[ir][keep], dtype=dtype),
-             "hamming": ham[keep]}
+        return pa.table(
+            {"id_left": pa.array(ids[il][keep], type=id_type),
+             "id_right": pa.array(ids[ir][keep], type=id_type),
+             "hamming": pa.array(ham[keep], type=pa.int64())}
         )
 
     from .blocking import bucketed_apply
 
     pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
-                           repartition=False)
+                           repartition=False, batch_format="pyarrow")
+
+    def min_hamming(g: pa.Table) -> pa.Table:
+        out = g.group_by(["id_left", "id_right"]).aggregate([("hamming", "min")])
+        return out.rename_columns(["id_left", "id_right", "hamming"])
+
     return bucketed_apply(
-        pairs, ["id_left", "id_right"],
-        lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(hamming=("hamming", "min")),
-        num_buckets=64,
+        pairs, ["id_left", "id_right"], min_hamming, num_buckets=64,
+        batch_format="pyarrow",
     )
 
 
@@ -818,43 +822,54 @@ def embedding_near_dup(
                               n_tables=n_tables, n_bits=n_bits)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_bucket(g: pa.Table) -> pa.Table:
         """Vectorized per-bucket pair emission (no per-key loop): one sort,
         per-group head-truncation of oversized buckets (logged), size-class
-        triu pairs, then a single row-gathered dot-product pass."""
-        dtype = g["doc_id"].dtype if len(g) else np.int64
-        empty = pd.DataFrame({"id_left": pd.Series(dtype=dtype), "id_right": pd.Series(dtype=dtype),
-                              "cosine": pd.Series(dtype=np.float64)})
-        if len(g) == 0:
+        triu pairs, then a single row-gathered dot-product pass. Arrow-native:
+        the vectors come out of the list column ZERO-COPY
+        (similarity._vecs_from_list_column) instead of a per-row .tolist()."""
+        id_type = g.schema.field("doc_id").type
+        empty = pa.table(
+            {"id_left": pa.array([], type=id_type), "id_right": pa.array([], type=id_type),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+        if g.num_rows == 0:
             return empty
-        g = g.drop_duplicates(["band_key", "doc_id"]).sort_values(["band_key", "doc_id"])
-        keys_np = g["band_key"].to_numpy()
-        starts, sizes = _group_bounds(keys_np, len(g))
-        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        kc, ids, take_idx, _ = _key_sorted_dedup(g, "band_key", "doc_id")
+        starts, sizes = _group_bounds(kc, len(kc))
+        pos = np.arange(len(kc)) - np.repeat(starts, sizes)
         keep_rows = pos < max_group_size
         for gi in np.nonzero(sizes > max_group_size)[0]:
             logger.info(
                 "embedding lsh: bucket of %d truncated to %d", sizes[gi], max_group_size
             )
         if not keep_rows.all():
-            g = g.iloc[np.nonzero(keep_rows)[0]]
-            keys_np = g["band_key"].to_numpy()
-            starts, sizes = _group_bounds(keys_np, len(g))
-        ids = g["doc_id"].to_numpy()
+            kc, ids, take_idx = kc[keep_rows], ids[keep_rows], take_idx[keep_rows]
+            starts, sizes = _group_bounds(kc, len(kc))
         il, ir = _triu_pairs(starts, sizes, np.ones(len(starts), dtype=bool))
         if len(il) == 0:
             return empty
-        Vn = np.array(g["vec"].tolist(), dtype=np.float64)
+        from .similarity import _vecs_from_list_column
+
+        Vn = _vecs_from_list_column(pc.take(g["vec"], pa.array(take_idx)))
         sims = np.einsum("ij,ij->i", Vn[il], Vn[ir])
         keep = sims >= threshold
-        return pd.DataFrame({"id_left": ids[il][keep], "id_right": ids[ir][keep], "cosine": sims[keep]})
+        return pa.table(
+            {"id_left": pa.array(ids[il][keep], type=id_type),
+             "id_right": pa.array(ids[ir][keep], type=id_type),
+             "cosine": pa.array(sims[keep], type=pa.float64())}
+        )
 
     from .blocking import bucketed_apply
 
     pairs = bucketed_apply(keys, ["band_key"], emit_bucket, num_buckets=64,
-                           repartition=False)
+                           repartition=False, batch_format="pyarrow")
+
+    def max_cosine(g: pa.Table) -> pa.Table:
+        out = g.group_by(["id_left", "id_right"]).aggregate([("cosine", "max")])
+        return out.rename_columns(["id_left", "id_right", "cosine"])
+
     return bucketed_apply(
-        pairs, ["id_left", "id_right"],
-        lambda g: g.groupby(["id_left", "id_right"], as_index=False).agg(cosine=("cosine", "max")),
-        num_buckets=64,
+        pairs, ["id_left", "id_right"], max_cosine, num_buckets=64,
+        batch_format="pyarrow",
     )

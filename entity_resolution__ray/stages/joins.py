@@ -20,6 +20,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -101,16 +102,37 @@ def hash_join(
         + [pa.field(c, rtypes[c]) for c in ronly]
     )
 
-    def merge(group: pd.DataFrame) -> pa.Table:
-        lg = group.loc[group["__side"] == 0, keys + lonly]
-        rg = group.loc[group["__side"] == 1, keys + ronly]
-        m = lg.merge(rg, on=keys, how=how)
-        tbl = pa.Table.from_pandas(m, preserve_index=False)
+    join_type = {"inner": "inner", "left": "left outer", "right": "right outer",
+                 "outer": "full outer"}[how]
+    # Acero's hash join rejects nested payload types (list/struct) — those
+    # buckets fall back to the pandas merge; flat-typed joins (the common
+    # case: ids, probs, texts) stay Arrow-native end to end
+    nested_payload = any(
+        pa.types.is_nested(tp) for tp in list(ltypes.values()) + list(rtypes.values())
+    )
+
+    if nested_payload:
+
+        def merge_pd(group: pd.DataFrame) -> pa.Table:
+            lg = group.loc[group["__side"] == 0, keys + lonly]
+            rg = group.loc[group["__side"] == 1, keys + ronly]
+            m = lg.merge(rg, on=keys, how=how)
+            tbl = pa.Table.from_pandas(m, preserve_index=False)
+            return tbl.select(out_schema.names).cast(out_schema)
+
+        return u.groupby("__bucket").map_groups(merge_pd, batch_format="pandas")
+
+    def merge(group: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join (Acero hash join) — no pandas
+        # object-materialization round trip for the string key/value columns
+        lg = group.filter(pc.equal(group["__side"], 0)).select(keys + lonly)
+        rg = group.filter(pc.equal(group["__side"], 1)).select(keys + ronly)
+        m = lg.join(rg, keys=keys, join_type=join_type)
         # enforce the declared schema so every block (incl. empty buckets)
         # is arrow with identical types
-        return tbl.select(out_schema.names).cast(out_schema)
+        return m.select(out_schema.names).cast(out_schema)
 
-    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def ltypes_field(schema: pa.Schema, name: str) -> pa.DataType:

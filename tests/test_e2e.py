@@ -39,6 +39,16 @@ def test_pairwise_f1_at_matched_blocking_keys(pipeline_run):
     assert m["f1"] >= 0.99, m
 
 
+def test_pairwise_f1_gate_raises_on_oversized_input(pipeline_run):
+    # the eval collects pairs on the driver; an oversized run must raise
+    # instead of OOM (VERDICT r3 #4)
+    out, golden_pairs, _, _ = pipeline_run
+    with pytest.raises(ValueError, match="max_driver_pairs"):
+        evaluate_pairwise_f1(
+            out["edges"], golden_pairs, out["candidate_pairs"], max_driver_pairs=10
+        )
+
+
 def test_span_sequence_invariant_end_to_end(pipeline_run):
     out, _, _, corpus = pipeline_run
     orig = {

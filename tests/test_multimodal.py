@@ -38,11 +38,14 @@ def test_decode_media_fake_mode(ray_session):
 
 
 def test_decode_media_real_mode_gates_per_format():
-    # real mode constructs fine (PPM images decode for real); non-PPM
-    # payloads raise because their decoders aren't in this container
+    # real mode decodes PPM/BMP/WAV for real; formats that genuinely need
+    # PIL/ffmpeg (e.g. PNG) raise NotImplementedError, and a corrupt stream
+    # of a SUPPORTED container raises ValueError, not NotImplementedError
     dm = DecodeMedia(mode="real")
     with pytest.raises(NotImplementedError):
-        dm._real_features(b"RIFF....WAVE")
+        dm._real_features(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        dm._real_features(b"RIFF....WAVE")  # RIFF/WAVE magic but no chunks
 
 
 def test_resize_stub(ray_session):
@@ -97,7 +100,7 @@ def test_real_decode_ppm_images(ray_session):
     assert 0.3 < feats[:, 0].mean() < 0.7
 
 
-def test_real_decode_raises_for_audio(ray_session):
+def test_real_decode_raises_for_unknown_format(ray_session):
     from entity_resolution__ray.stages.multimodal import DecodeMedia
 
     dm = DecodeMedia(mode="real")
@@ -105,16 +108,73 @@ def test_real_decode_raises_for_audio(ray_session):
         dm._real_features(b"\x00\x01\x02")
 
 
-def test_resize_stage_rewrites_ppm_payload(ray_session):
+def test_bmp_codec_roundtrip():
+    from entity_resolution__ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    # widths that exercise 0-3 bytes of row padding
+    for w in (5, 6, 7, 8):
+        arr = rng.randint(0, 256, size=(4, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMtooshort")
+    with pytest.raises(ValueError):
+        decode_bmp(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_wav_codec_roundtrip_and_features():
+    from entity_resolution__ray.stages.multimodal import decode_wav, encode_wav, wav_features
+
+    rate = 8000
+    t = np.arange(rate // 4)  # 250 ms
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    x, r = decode_wav(encode_wav(mono, rate))
+    assert r == rate
+    assert x.shape == (len(t), 1)
+    assert np.abs(x[:, 0] - mono).max() < 1e-3  # 16-bit quantization
+    stereo = np.stack([mono, -mono], axis=1)
+    x2, _ = decode_wav(encode_wav(stereo, rate))
+    assert x2.shape == (len(t), 2)
+    f = wav_features(x, r)
+    assert f.shape == (8,)
+    assert np.isfinite(f).all()
+    assert 0.3 < f[1] / 0.5 * np.sqrt(2) < 1.2  # RMS of a 0.5-amp sine ≈ 0.354
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_real_decode_wav_audio_rows(ray_session):
+    import pyarrow.compute as pc2
+
+    from entity_resolution__ray.stages.multimodal import decode_media, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(24))
+    audio = media.map_batches(
+        lambda t: t.filter(pc2.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    out = decode_media(audio, mode="real").to_pandas()
+    assert len(out) == 8
+    feats = np.array(out["features"].tolist())
+    assert feats.shape == (8, 8)
+    assert np.isfinite(feats).all()
+    assert (feats[:, 1] > 0.1).all()  # sine RMS well above silence
+
+
+def test_resize_stage_rewrites_image_payloads(ray_session):
     from entity_resolution__ray.stages.multimodal import (
         ResizeImageStub,
+        decode_bmp,
         decode_ppm,
         synth_media_table,
     )
 
-    t = synth_media_table(6)
+    t = synth_media_table(12)  # images alternate PPM / BMP payloads
     out = ResizeImageStub(target_w=10, target_h=7)(t)
+    magics = set()
     for p, k in zip(out["payload"].to_pylist(), out["kind"].to_pylist()):
         if k == "image":
-            assert decode_ppm(p).shape == (7, 10, 3)
+            dec = decode_ppm if p.startswith(b"P6") else decode_bmp
+            magics.add(p[:2])
+            assert dec(p).shape == (7, 10, 3)
+    assert magics == {b"P6", b"BM"}  # both codecs exercised
     assert set(out["width"].to_pylist()) == {10}

@@ -94,6 +94,61 @@ def test_read_records_csv_as_docs(ray_session, tmp_path):
     assert len(by_id["9"]) == 3  # long text → interleaved media span
 
 
+def test_read_docs_lance_dispatch(ray_session, tmp_path, monkeypatch):
+    """Contract test for the Lance seam (the package is absent in this
+    container): a ``.lance`` path or a ``_versions`` directory must dispatch
+    to ``ray.data.read_lance`` with the pruned column list, and an
+    ImportError from it must fall back to the parquet mirror."""
+    calls = []
+
+    sentinel = object()
+
+    def fake_read_lance(path, columns=None, **kwargs):
+        calls.append((path, columns))
+        return sentinel
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance)
+    out = read_docs(str(tmp_path / "docs.lance"), columns=["doc_id"])
+    assert out is sentinel
+    assert calls == [(str(tmp_path / "docs.lance"), ["doc_id"])]
+
+    # a directory with _versions (Lance layout) also dispatches
+    versioned = tmp_path / "ds"
+    (versioned / "_versions").mkdir(parents=True)
+    read_docs(str(versioned), columns=None)
+    assert calls[-1] == (str(versioned), None)
+
+    # ImportError (package absent) → parquet fallback on the same path
+    def raising_read_lance(path, columns=None, **kwargs):
+        raise ImportError("lance is not installed")
+
+    monkeypatch.setattr(rd, "read_lance", raising_read_lance)
+    t = pa.table({"doc_id": ["a"], "text": ["hello"]})
+    pq_path = str(tmp_path / "mirror.lance")
+    pq.write_table(lift_documents_to_spans(t), pq_path)
+    back = read_docs(pq_path).take_all()
+    assert back[0]["doc_id"] == "a"
+
+
+def test_write_docs_lance_dispatch(ray_session, tmp_path, monkeypatch):
+    """write_docs must try Lance first (the input_hint format) and only fall
+    back to parquet when the package import fails — proven by injecting a
+    fake ``lance`` module and asserting ``Dataset.write_lance`` is called."""
+    import sys
+    import types
+
+    t = pa.table({"doc_id": ["a", "b"], "text": ["x", "y" * 70]})
+    docs = rd.from_arrow(lift_documents_to_spans(t))
+    written = []
+    monkeypatch.setattr(
+        type(docs), "write_lance", lambda self, path, **kw: written.append(path), raising=False
+    )
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    out = str(tmp_path / "docs_lance_out")
+    assert write_docs(docs, out) == out
+    assert written == [out]
+
+
 def test_write_docs_roundtrip(ray_session, tmp_path):
     t = pa.table({"doc_id": ["a", "b"], "text": ["hello world", "y" * 70]})
     docs = rd.from_arrow(lift_documents_to_spans(t))
