@@ -273,9 +273,26 @@ def run_er_pipeline(
             "02_candidate_pairs",
         )
 
+    # static schemas for the join-mode attaches: pairs/edges are LAZY
+    # pipelines in bench mode, and a hash-join schema probe on a lazy
+    # dataset executes its all-to-all upstream in full (3× blocking passes
+    # measured in the forced-join run before these were threaded through)
+    from ..stages.joins import _arrow_schema
+
+    norm_schema = _arrow_schema(norm)  # norm is always materialized — free
+    id_t = norm_schema.field("doc_id").type
+    if cfg.blocking_mode == "knn":
+        pairs_schema = pa.schema([pa.field("id_left", id_t), pa.field("id_right", id_t)])
+    else:
+        pairs_schema = pa.schema(
+            [pa.field("id_left", id_t), pa.field("id_right", id_t),
+             pa.field("block_key", pa.string()), pa.field("sim", pa.float64())]
+        )
+
     # 4-5. feature kernel (8 features, actor pool)
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
     training = model is None
+    edges_fields = list(pairs_schema)
     if features_mode == "bundles":
         from ..stages.features import pair_features_broadcast
 
@@ -284,8 +301,16 @@ def run_er_pipeline(
         with_texts = attach_doc_columns(
             pairs, norm, {"norm_text": ("src_text", "cand_text")},
             mode=attach_mode, num_partitions=cfg.num_partitions,
+            pairs_schema=pairs_schema, docs_schema=norm_schema,
         )
         feats_ds = pair_features(with_texts, vec_word, vec_char)
+        text_t = norm_schema.field("norm_text").type
+        edges_fields += [pa.field("src_text", text_t), pa.field("cand_text", text_t)]
+    edges_schema = pa.schema(
+        edges_fields
+        + [pa.field(c, pa.float64()) for c in FEATURE_COLS]
+        + [pa.field("prob_match", pa.float64()), pa.field("pred_match", pa.int8())]
+    )
     feats = stage(feats_ds, "03_pair_features", multi_consumer=training, rows_in_from="02_candidate_pairs")
 
     # 6. matcher: train on labeled pairs (driver-side protocol) or use given model
@@ -303,11 +328,12 @@ def run_er_pipeline(
     attach_cols = {}
     if cfg.use_geo or cfg.run_cohort_transitivity:
         attach_cols["countries"] = ("src_countries", "cand_countries")
-    if cfg.use_token_overlap and "src_text" not in (edges.schema().names or []):
+    if cfg.use_token_overlap and "src_text" not in edges_schema.names:
         attach_cols["norm_text"] = ("src_text", "cand_text")
     if attach_cols:
         edges_sides = attach_doc_columns(
-            edges, norm, attach_cols, mode=attach_mode, num_partitions=cfg.num_partitions
+            edges, norm, attach_cols, mode=attach_mode, num_partitions=cfg.num_partitions,
+            pairs_schema=edges_schema, docs_schema=norm_schema,
         )
     else:
         edges_sides = edges

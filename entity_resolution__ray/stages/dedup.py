@@ -564,8 +564,15 @@ def near_dup_clusters(
         from .joins import attach_doc_columns
 
         docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
+        # static schemas: the LSH candidate stream is a lazy pipeline — a
+        # schema probe would execute its band sorts in full (see hash_join)
+        ds_schema = _arrow_schema_of(ds)
+        cand_id_t = ds_schema.field(id_col).type
         with_texts = attach_doc_columns(
-            candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode
+            candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode,
+            pairs_schema=pa.schema([pa.field("id_left", cand_id_t), pa.field("id_right", cand_id_t)]),
+            docs_schema=pa.schema([pa.field("doc_id", cand_id_t),
+                                   pa.field("norm_text", ds_schema.field(text_col).type)]),
         )
         verifier = JaccardVerify(shingle=shingle)
         verified = with_texts.map_batches(
@@ -613,13 +620,19 @@ def minhash_lsh_dedup(
     n_bands: int = 16,
     rows_per_band: int = 8,
     shingle: str = "char4",
+    attach_mode: str = "auto",
 ) -> Dataset:
     """Full MinHash-LSH near-dedup: (doc_id, dup_group) for docs that belong
-    to a near-dup cluster (singletons omitted — they keep themselves)."""
+    to a near-dup cluster (singletons omitted — they keep themselves).
+    ``attach_mode`` threads through to the verify stage (see
+    :func:`near_dup_clusters`); "join" is the beyond-object-store path."""
     cands = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, n_bands=n_bands, rows_per_band=rows_per_band, shingle=shingle
     )
-    return near_dup_clusters(ds, cands, text_col=text_col, id_col=id_col, threshold=threshold, shingle=shingle)
+    return near_dup_clusters(
+        ds, cands, text_col=text_col, id_col=id_col, threshold=threshold,
+        shingle=shingle, attach_mode=attach_mode,
+    )
 
 
 # ---------------------------------------------------------------------------

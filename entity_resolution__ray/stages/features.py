@@ -155,16 +155,12 @@ def attach_texts(
             return batch.append_column("src_text", src).append_column("cand_text", cand)
 
         return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
-    from .joins import hash_join
+    from .joins import attach_doc_columns
 
-    docs_l = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
-        {"doc_id": "id_left", "norm_text": "src_text"}
+    return attach_doc_columns(
+        pairs, norm_docs, {"norm_text": ("src_text", "cand_text")},
+        mode="join", num_partitions=num_partitions,
     )
-    docs_r = norm_docs.select_columns(["doc_id", "norm_text"]).rename_columns(
-        {"doc_id": "id_right", "norm_text": "cand_text"}
-    )
-    out = hash_join(pairs, docs_l, on=["id_left"], num_partitions=num_partitions)
-    return hash_join(out, docs_r, on=["id_right"], num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

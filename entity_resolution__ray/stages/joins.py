@@ -56,18 +56,41 @@ def _arrow_schema(ds: Dataset) -> pa.Schema:
     return sample.schema
 
 
+def hash_join_schema(lschema: pa.Schema, rschema: pa.Schema, on: Sequence[str]) -> pa.Schema:
+    """Output schema of :func:`hash_join` for the given input schemas —
+    lets callers chain joins over LAZY datasets without any schema probe."""
+    keys = list(on)
+    lonly = [c for c in lschema.names if c not in keys]
+    ronly = [c for c in rschema.names if c not in keys]
+    return pa.schema(
+        [lschema.field(c) for c in keys]
+        + [lschema.field(c) for c in lonly]
+        + [rschema.field(c) for c in ronly]
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
     on: Sequence[str],
     num_partitions: int = 16,
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Distributed hash join on equally-named key columns. Non-key column
-    names must be disjoint between the two sides."""
+    names must be disjoint between the two sides.
+
+    Pass ``left_schema`` / ``right_schema`` when an input is a LAZY pipeline:
+    without them the schema probe (``ds.schema()``) executes the upstream
+    plan — and any all-to-all stage in it (sort, groupby, repartition) runs
+    in FULL just to type the columns, so a chain of two joins re-executes
+    its upstream three times (measured 3× blocking passes in the forced-join
+    er_clusters run). Declared column ORDER need not match the physical
+    blocks — columns are aligned by name; only names and types matter."""
     keys = list(on)
-    lschema = _arrow_schema(left)
-    rschema = _arrow_schema(right)
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lonly = [c for c in lschema.names if c not in keys]
     ronly = [c for c in rschema.names if c not in keys]
     overlap = set(lonly) & set(ronly)
@@ -95,12 +118,7 @@ def hash_join(
     rt = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True).select_columns(col_order)
     u = lt.union(rt)
 
-    key_types = {c: ltypes_field(lschema, c) for c in keys}
-    out_schema = pa.schema(
-        [pa.field(c, key_types[c]) for c in keys]
-        + [pa.field(c, ltypes[c]) for c in lonly]
-        + [pa.field(c, rtypes[c]) for c in ronly]
-    )
+    out_schema = hash_join_schema(lschema, rschema, keys)
 
     join_type = {"inner": "inner", "left": "left outer", "right": "right outer",
                  "outer": "full outer"}[how]
@@ -133,10 +151,6 @@ def hash_join(
         return m.select(out_schema.names).cast(out_schema)
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
-
-
-def ltypes_field(schema: pa.Schema, name: str) -> pa.DataType:
-    return schema.field(name).type
 
 
 # ---------------------------------------------------------------------------
@@ -182,10 +196,17 @@ def attach_doc_columns(
     mode: str = "broadcast",
     num_partitions: int = 32,
     concurrency=(1, 8),
+    pairs_schema: pa.Schema | None = None,
+    docs_schema: pa.Schema | None = None,
 ) -> Dataset:
     """``columns`` maps doc-column → (name-for-left-side, name-for-right-side).
 
     e.g. {"norm_text": ("src_text", "cand_text"), "countries": ("src_countries", "cand_countries")}
+
+    In ``mode="join"`` pass ``pairs_schema`` (and ``docs_schema``) when the
+    pair stream is a lazy pipeline: the two chained hash joins otherwise each
+    probe ``pairs.schema()``, and every probe executes the full lazy blocking
+    upstream (its sorts are all-to-all — they can't run partially).
     """
     proj = norm_docs.select_columns(["doc_id"] + list(columns))
     if mode == "broadcast":
@@ -233,5 +254,23 @@ def attach_doc_columns(
         return pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     left = proj.rename_columns({"doc_id": "id_left", **{c: names[0] for c, names in columns.items()}})
     right = proj.rename_columns({"doc_id": "id_right", **{c: names[1] for c, names in columns.items()}})
-    out = hash_join(pairs, left, on=["id_left"], num_partitions=num_partitions)
-    return hash_join(out, right, on=["id_right"], num_partitions=num_partitions)
+    dschema = docs_schema if docs_schema is not None else _arrow_schema(proj)
+    id_type = dschema.field("doc_id").type
+    lside_schema = pa.schema(
+        [pa.field("id_left", id_type)]
+        + [pa.field(names[0], dschema.field(c).type) for c, names in columns.items()]
+    )
+    rside_schema = pa.schema(
+        [pa.field("id_right", id_type)]
+        + [pa.field(names[1], dschema.field(c).type) for c, names in columns.items()]
+    )
+    pschema = pairs_schema if pairs_schema is not None else _arrow_schema(pairs)
+    out = hash_join(
+        pairs, left, on=["id_left"], num_partitions=num_partitions,
+        left_schema=pschema, right_schema=lside_schema,
+    )
+    return hash_join(
+        out, right, on=["id_right"], num_partitions=num_partitions,
+        left_schema=hash_join_schema(pschema, lside_schema, ["id_left"]),
+        right_schema=rside_schema,
+    )
