@@ -185,7 +185,11 @@ def knn_pairs_inverted(
     def postings(batch: pa.Table) -> pa.Table:
         vec = ray.get(vec_ref)
         texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the doc-id column's NATIVE Arrow type (string in the ER docs
+        # model, int64 in the TPC-H-ish tables) — coercing to int64 here used
+        # to make the downstream hash_join merge int64 pairs against string
+        # important-token ids and fail inside the sort
+        ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
         indptr, indices, data = vec.transform(texts)
         rows = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(indptr))
         if len(skip_terms):
@@ -193,7 +197,7 @@ def knn_pairs_inverted(
             indices, data, rows = indices[keep], data[keep], rows[keep]
         return pa.table(
             {"term": pa.array(indices, type=pa.int64()),
-             "doc": pa.array(ids[rows], type=pa.int64()),
+             "doc": ids.take(pa.array(rows, type=pa.int64())),
              "w": pa.array(data, type=pa.float64())}
         )
 
@@ -202,12 +206,12 @@ def knn_pairs_inverted(
     )
 
     def term_products(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc"].to_numpy(dtype=np.int64)
+        d = g["doc"].to_numpy()  # native dtype (int64 or object/str)
         w = g["w"].to_numpy(dtype=np.float64)
         L = len(d)
         if L < 2:
-            return pd.DataFrame({"src": np.empty(0, np.int64), "nb": np.empty(0, np.int64),
-                                 "p": np.empty(0, np.float64)})
+            # slice the input to keep the id dtype stable across blocks
+            return pd.DataFrame({"src": d[:0], "nb": d[:0], "p": np.empty(0, np.float64)})
         order = np.argsort(d)
         d, w = d[order], w[order]
         iu, ju = np.triu_indices(L, 1)
@@ -303,20 +307,19 @@ def k_sweep_metrics(
              "cos": pa.array(np.bincount(rank, weights=cos, minlength=mk + 1)[1:])}
         )
 
-    per_rank = (
-        joined.map_batches(rank_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        .groupby("rank", as_index=False)
-        .sum()
-        .sort_values("rank")
-    )
-    full = pd.DataFrame({"rank": np.arange(1, max_k + 1, dtype=np.int64)}).merge(
-        per_rank, on="rank", how="left"
-    ).fillna(0.0)
-    cn = full["n"].cumsum().to_numpy()
-    cs = full["share"].cumsum().to_numpy()
-    cj = full["jacc"].cumsum().to_numpy()
-    cc = full["cos"].cumsum().to_numpy()
+    # stream the ≤ max_k-row partials and reduce into four fixed-size vectors
+    # on the driver — O(max_k) driver memory regardless of corpus size (the
+    # old .to_pandas() materialized blocks × max_k rows at once)
+    acc = {c: np.zeros(max_k, dtype=np.float64) for c in ("n", "share", "jacc", "cos")}
+    partials = joined.map_batches(rank_partials, batch_format="pyarrow", zero_copy_batch=True)
+    for part in partials.iter_batches(batch_format="pyarrow"):
+        idx = part["rank"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        for c in acc:
+            np.add.at(acc[c], idx, part[c].to_numpy(zero_copy_only=False).astype(np.float64))
+    cn = acc["n"].cumsum()
+    cs = acc["share"].cumsum()
+    cj = acc["jacc"].cumsum()
+    cc = acc["cos"].cumsum()
 
     rows = []
     for k in ks:

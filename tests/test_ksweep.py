@@ -94,3 +94,19 @@ def test_k_sweep_monotone_reduction_and_bounds():
     # mean cosine over deeper neighbor lists cannot increase
     ac = out["avg_cosine"].to_numpy()
     assert (np.diff(ac) <= 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_k_sweep_string_doc_ids():
+    """The ER docs model has doc_id:string — the sweep must not coerce ids to
+    int64 (regression: int64-coerced pairs joined against string important-token
+    ids failed inside the hash-join sort). Zero-padded ids keep the lexical
+    tie-break identical to the numeric one, so metrics must match exactly."""
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).limit(120)
+    pdf = docs.to_pandas()
+    ks = [5, 10]
+    want = k_sweep_metrics(rd.from_pandas(pdf), k_values=ks, df_cap=10_000, num_buckets=8)
+    spdf = pdf.assign(doc_id=pdf["doc_id"].map(lambda i: f"doc_{i:09d}"))
+    got = k_sweep_metrics(rd.from_pandas(spdf), k_values=ks, df_cap=10_000, num_buckets=8)
+    for col in ["overlap_purity", "jaccard_purity", "avg_cosine", "reduction_ratio"]:
+        np.testing.assert_allclose(got[col], want[col], atol=1e-12, err_msg=col)
