@@ -28,12 +28,65 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .hashing import _GOLDEN, _P_INV, _U64, _prefix_hash, _splitmix64, hash_token_list
 from .text_norm import strip_accents as _strip_accents
 
 CSR = Tuple[np.ndarray, np.ndarray, np.ndarray]  # (indptr, indices, data)
 
 WORD_2PLUS = r"(?u)\b\w\w+\b"  # sklearn default token_pattern
 WORD_1PLUS = r"(?u)\b\w+\b"    # reference CountVectorizer pattern
+
+
+# ---------------------------------------------------------------------------
+# vectorized n-gram hashing helpers (the fast transform path)
+# ---------------------------------------------------------------------------
+def _cp_array(texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """All texts as one uint32 CODEPOINT array + int64 offsets (n+1,).
+    Codepoints (not bytes) so char n-gram windows match the per-character
+    analyzer exactly for non-ASCII input."""
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter(map(len, texts), dtype=np.int64, count=len(texts)), out=offs[1:])
+    return cp, offs
+
+
+def _window_hash_state(cp: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(prefix polynomial S, P^-i powers) enabling O(1) hash of ANY window:
+    h(start, length) = splitmix((S[start+len]-S[start]) * P^-start
+                                 ^ splitmix(len))."""
+    S = _prefix_hash(cp)
+    pinv = np.empty(cp.size + 1, dtype=_U64)
+    pinv[0] = 1
+    if cp.size:
+        np.multiply.accumulate(np.full(cp.size, _P_INV, dtype=_U64), out=pinv[1:])
+    return S, pinv
+
+
+def _window_hashes(S: np.ndarray, pinv: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    base = (S[starts + lens] - S[starts]) * pinv[starts]
+    return _splitmix64(base ^ _splitmix64(lens.astype(_U64)))
+
+
+def _fold_hashes(h: np.ndarray, starts: np.ndarray, size: int) -> np.ndarray:
+    """Combined hash of ``size`` consecutive element hashes (word n-grams);
+    mirror of hashing.hash_columns' fold so vocab-side and text-side agree."""
+    out = h[starts]
+    for j in range(1, size):
+        out = _splitmix64(out ^ (h[starts + j] + _GOLDEN))
+    return out
+
+
+def _gram_starts(counts_per_row: np.ndarray, offs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(global start index, row id) of every gram when row i contributes
+    ``counts_per_row[i]`` grams starting at offs[i], offs[i]+1, ..."""
+    total = int(counts_per_row.sum())
+    row_of = np.repeat(np.arange(len(counts_per_row), dtype=np.int64), counts_per_row)
+    first = np.repeat(offs[:-1], counts_per_row)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts_per_row) - counts_per_row, counts_per_row
+    )
+    return first + within, row_of
 
 
 class Vectorizer:
@@ -121,6 +174,7 @@ class Vectorizer:
         max_df = self.max_df if isinstance(self.max_df, int) else self.max_df * n_docs
         terms = sorted(t for t, c in dfreq.items() if c >= min_df and c <= max_df)
         self.vocabulary_ = {t: i for i, t in enumerate(terms)}
+        self.__dict__.pop("_ft", None)  # vocab changed — rebuild fast tables
         if self.use_idf:
             df_arr = np.array([dfreq[t] for t in terms], dtype=np.float64)
             self.idf_ = np.log((1.0 + n_docs) / (1.0 + df_arr)) + 1.0
@@ -135,7 +189,28 @@ class Vectorizer:
     # -- transform ---------------------------------------------------------
     def transform(self, texts: Sequence[str]) -> CSR:
         """Texts → CSR triples (indptr, indices, data); rows are l2-normalized
-        tf·idf (or raw counts when use_idf=False and norm=None)."""
+        tf·idf (or raw counts when use_idf=False and norm=None).
+
+        Hot path: vocabulary terms are hashed ONCE (cached per object, not
+        pickled) into a sorted uint64 table; every n-gram of a batch is hashed
+        vectorized (codepoint polynomial windows for char, token-hash folds
+        for word) and matched by searchsorted — no per-gram Python objects or
+        dict lookups. Falls back to the per-text dict path when the hashed
+        vocab has an (astronomically unlikely) internal collision or the
+        token pattern isn't one of the two whitespace-free patterns this repo
+        uses. Output is IDENTICAL to the dict path (same counts, same
+        ascending per-row index order, same float ops — parity-tested)."""
+        tables = self._fast_tables()
+        if tables is None:
+            return self._transform_dict(texts)
+        if self.analyzer == "char":
+            indptr, indices, data = self._transform_char_fast(texts, tables)
+        else:
+            indptr, indices, data = self._transform_word_fast(texts, tables)
+        return self._finalize_weights(indptr, indices, data, len(texts))
+
+    def _transform_dict(self, texts: Sequence[str]) -> CSR:
+        """Reference semantics (and collision fallback): per-text dict counting."""
         vocab = self.vocabulary_
         indptr = np.zeros(len(texts) + 1, dtype=np.int64)
         indices_parts: List[np.ndarray] = []
@@ -159,17 +234,131 @@ class Vectorizer:
             indptr[i + 1] = indptr[i] + len(idx)
         indices = np.concatenate(indices_parts) if indices_parts else np.empty(0, dtype=np.int64)
         data = np.concatenate(data_parts) if data_parts else np.empty(0, dtype=np.float64)
+        return self._finalize_weights(indptr, indices, data, len(texts))
 
+    def _finalize_weights(self, indptr, indices, data, n_rows: int) -> CSR:
         if self.sublinear_tf and len(data):
             data = 1.0 + np.log(data)
         if self.use_idf and self.idf_ is not None and len(data):
             data = data * self.idf_[indices]
         if self.norm == "l2" and len(data):
-            rows = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(indptr))
-            norms = np.sqrt(np.bincount(rows, weights=data * data, minlength=len(texts)))
+            rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(indptr))
+            norms = np.sqrt(np.bincount(rows, weights=data * data, minlength=n_rows))
             norms[norms == 0.0] = 1.0
             data = data / norms[rows]
         return indptr, indices, data
+
+    # -- fast-path internals -------------------------------------------------
+    def _fast_tables(self):
+        """(sorted vocab hashes, vocab ids in that order) or None → fallback.
+        Built lazily once per object per process; dropped from pickles."""
+        cached = getattr(self, "_ft", "unset")
+        if cached != "unset":
+            return cached
+        tables = self._build_fast_tables()
+        self._ft = tables
+        return tables
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_ft", None)  # worker-local cache, rebuild after unpickle
+        return state
+
+    def _build_fast_tables(self):
+        if self.analyzer == "word" and self.token_re.pattern not in (WORD_1PLUS, WORD_2PLUS):
+            return None
+        terms = sorted(self.vocabulary_, key=self.vocabulary_.get)
+        if self.analyzer == "char":
+            if terms:
+                cp, offs = _cp_array(terms)
+                S, pinv = _window_hash_state(cp)
+                h = _window_hashes(S, pinv, offs[:-1], np.diff(offs))
+            else:
+                h = np.empty(0, dtype=_U64)
+        else:
+            # word n-gram term "a b" ≡ fold of part hashes — mirror of the
+            # text side where grams are folds of consecutive token hashes
+            parts_per_term = [t.split(" ") for t in terms]
+            sizes = np.fromiter(map(len, parts_per_term), dtype=np.int64, count=len(terms))
+            flat = [p for parts in parts_per_term for p in parts]
+            ph = hash_token_list(flat)
+            offs = np.zeros(len(terms) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=offs[1:])
+            h = np.empty(len(terms), dtype=_U64)
+            for s in np.unique(sizes):
+                m = sizes == s
+                h[m] = _fold_hashes(ph, offs[:-1][m], int(s))
+        if len(np.unique(h)) != len(h):
+            return None  # internal collision — keep exact dict semantics
+        order = np.argsort(h)
+        return h[order], np.arange(len(terms), dtype=np.int64)[order]
+
+    def _lookup_csr(self, gram_hashes: np.ndarray, row_of: np.ndarray, n_rows: int, tables) -> CSR:
+        vh, vid = tables
+        if len(vh) and gram_hashes.size:
+            pos = np.searchsorted(vh, gram_hashes)
+            pos[pos == len(vh)] = 0
+            ok = vh[pos] == gram_hashes
+            rows, vids = row_of[ok], vid[pos[ok]]
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            vids = np.empty(0, dtype=np.int64)
+        F = np.int64(max(len(vh), 1))
+        key = rows * F + vids
+        key.sort()
+        if key.size:
+            first = np.ones(key.size, dtype=bool)
+            first[1:] = key[1:] != key[:-1]
+            uniq = key[first]
+            grp = np.cumsum(first) - 1
+            counts = np.bincount(grp).astype(np.float64)
+        else:
+            uniq = key
+            counts = np.empty(0, dtype=np.float64)
+        indices = uniq % F
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(np.bincount((uniq // F), minlength=n_rows), out=indptr[1:])
+        return indptr, indices, counts
+
+    def _transform_char_fast(self, texts: Sequence[str], tables) -> CSR:
+        lo, hi = self.ngram_range
+        norm_texts = [" ".join(self._preprocess(t).split()) for t in texts]
+        cp, offs = _cp_array(norm_texts)
+        S, pinv = _window_hash_state(cp)
+        lengths = np.diff(offs)
+        hash_parts: List[np.ndarray] = []
+        row_parts: List[np.ndarray] = []
+        for size in range(lo, hi + 1):
+            counts = np.maximum(lengths - size + 1, 0)
+            if not counts.any():
+                continue
+            starts, row_of = _gram_starts(counts, offs)
+            hash_parts.append(_window_hashes(S, pinv, starts, np.full(starts.size, size, dtype=np.int64)))
+            row_parts.append(row_of)
+        gh = np.concatenate(hash_parts) if hash_parts else np.empty(0, dtype=_U64)
+        rw = np.concatenate(row_parts) if row_parts else np.empty(0, dtype=np.int64)
+        return self._lookup_csr(gh, rw, len(texts), tables)
+
+    def _transform_word_fast(self, texts: Sequence[str], tables) -> CSR:
+        lo, hi = self.ngram_range
+        findall = self.token_re.findall
+        token_lists = [findall(self._preprocess(t)) for t in texts]
+        ntok = np.fromiter(map(len, token_lists), dtype=np.int64, count=len(texts))
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(ntok, out=offs[1:])
+        th = hash_token_list([tok for lst in token_lists for tok in lst])
+        hash_parts: List[np.ndarray] = []
+        row_parts: List[np.ndarray] = []
+        for size in range(lo, hi + 1):
+            counts = np.maximum(ntok - size + 1, 0)
+            if not counts.any():
+                continue
+            starts, row_of = _gram_starts(counts, offs)
+            hash_parts.append(_fold_hashes(th, starts, size))
+            row_parts.append(row_of)
+        gh = np.concatenate(hash_parts) if hash_parts else np.empty(0, dtype=_U64)
+        rw = np.concatenate(row_parts) if row_parts else np.empty(0, dtype=np.int64)
+        return self._lookup_csr(gh, rw, len(texts), tables)
 
     def transform_dense(self, texts: Sequence[str]) -> np.ndarray:
         """Dense matrix — only for small conformance-mode corpora (brute kNN)."""

@@ -36,7 +36,6 @@ from ..functions.vectorizer import (
     WORD_1PLUS,
     Vectorizer,
     pair_char_tfidf,
-    pair_count_vectorizer,
     pair_word_tfidf,
 )
 from ..schema import FEATURE_COLS
@@ -508,11 +507,12 @@ def compute_pair_features(
     src_idx = inv[:n]
     cand_idx = inv[n:]
 
-    # vector-based sims — transform unique texts once
-    cv = pair_count_vectorizer().fit(uniq_list)  # scope-invariant; per-batch fit
-    u_cv = cv.transform(uniq_list)
-    token_cos = strsim.rowwise_cosine_csr(
-        *_csr_take(*u_cv, src_idx), *_csr_take(*u_cv, cand_idx), n, max(cv.n_features, 1)
+    # token count cosine over HASHED token keys — identical cosine (collisions
+    # aside, ~2^-64/pair) with no per-batch vocabulary fit; same construction
+    # as the bundle-store path, so both feature paths agree exactly
+    tc_off, tc_h, tc_c = _hashed_rows([_count_tokens(t) for t in uniq_list], with_counts=True)
+    token_cos = strsim.rowwise_cosine_hashed(
+        *_csr_take(tc_off, tc_h, tc_c, src_idx), *_csr_take(tc_off, tc_h, tc_c, cand_idx), n
     )
     u_w = vec_word.transform(uniq_list)
     tfidf_word_cos = strsim.rowwise_cosine_csr(

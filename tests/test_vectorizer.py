@@ -115,3 +115,43 @@ def test_empty_text_transforms_to_empty_row():
     v = blocking_tfidf().fit(CORPUS)
     indptr, indices, data = v.transform([""])
     assert indptr.tolist() == [0, 0]
+
+
+def test_fast_transform_parity_with_dict_path():
+    """transform()'s hashed-ngram fast path must return the EXACT CSR the
+    per-text dict path does — counts, per-row ascending index order, weights
+    — including non-ASCII codepoints and whitespace-normalization edges."""
+    import numpy as np
+
+    texts = [
+        "", "a", "ab", "abc def ghi", "the same the same the same",
+        "café au lait — naïve déjà-vu", "ÅÄÖ åäö 北京 大学 Universität",
+        "  runs   of    spaces  ", "x" * 300,
+        "University of Novi Sad, Faculty of Sciences, SERBIA",
+        "UNIV. OF NOVI SAD — FAC. OF SCI. (RS)",
+    ] * 3
+    for mk in (pair_char_tfidf, pair_word_tfidf, pair_count_vectorizer, blocking_tfidf):
+        v = mk().fit(texts)
+        assert v._fast_tables() is not None
+        fast = v.transform(texts)
+        slow = v._transform_dict(texts)
+        for a, b, lab in zip(fast, slow, ("indptr", "indices", "data")):
+            np.testing.assert_array_equal(a, b, err_msg=f"{mk.__name__}:{lab}")
+
+
+def test_fast_tables_survive_pickle_and_refit():
+    import pickle
+
+    import numpy as np
+
+    v = pair_char_tfidf().fit(["abc abd", "bcd ef"])
+    before = v.transform(["abc x"])
+    v2 = pickle.loads(pickle.dumps(v))
+    assert "_ft" not in v2.__dict__  # cache not shipped in broadcasts
+    after = v2.transform(["abc x"])
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    # refit must invalidate the cached table
+    v2.fit(["zzz yyy", "zzz qqq"])
+    assert "_ft" not in v2.__dict__
+    assert v2.transform(["zzz"])[1].size > 0
