@@ -402,7 +402,13 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    return minhash_lsh_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8)
+    # GRAFT_ER_FORCE_SCALE_PATHS=1 → verify via the beyond-object-store join
+    # path (texts ride with pairs) instead of the broadcast gram store; same
+    # knob as _q_er_clusters, used by the scale-regime bench legs.
+    attach = "join" if os.environ.get("GRAFT_ER_FORCE_SCALE_PATHS") == "1" else "auto"
+    return minhash_lsh_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.8, attach_mode=attach
+    )
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -573,6 +579,12 @@ def _q_er_clusters(sf_dir: str):
     from entity_resolution__ray.sources.docs import read_flat_documents_as_docs
 
     _er_fixture_gate()
+    # GRAFT_ER_FORCE_SCALE_PATHS=1 shrinks the probe budget to ~0 so the
+    # sizing probe selects the beyond-object-store paths (features_mode=texts,
+    # attach_mode=join, renumber=hash) even on a corpus that would fit a
+    # broadcast — used by the scale-regime bench legs to exercise the
+    # 100-TB path end-to-end on real data (BASELINE.md "join-mode at 500k").
+    force_scale = os.environ.get("GRAFT_ER_FORCE_SCALE_PATHS") == "1"
     out = run_er_pipeline(
         read_flat_documents_as_docs(sf_dir), model=_fixture_trained_model(), workdir=None,
         config=ERConfig(
@@ -583,6 +595,8 @@ def _q_er_clusters(sf_dir: str):
             # (no per-stage materialize barriers); checkpointed runs still
             # materialize every stage
             lazy_stages=True,
+            broadcast_max_fraction=1e-9 if force_scale else 0.25,
+            dense_renumber_max_rows=0 if force_scale else 50_000_000,
         ),
     )
     return out["clusters_cc"]

@@ -119,8 +119,9 @@ def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
         "attach_mode": cfg.attach_mode,
         "renumber": cfg.renumber,
     }
-    if "auto" not in (cfg.features_mode, cfg.attach_mode, cfg.renumber):
-        return resolved
+    # norm is always materialized, so count() is metadata and the 1024-row
+    # sample reads one block — the probe is cheap even when every mode is
+    # explicitly fixed (we still need it to size the join buckets below).
     n_rows = norm.count()
     sample = norm.select_columns(["norm_text"]).limit(1024).take_all()
     mean_text = float(np.mean([len(r["norm_text"] or "") for r in sample])) if sample else 0.0
@@ -134,6 +135,24 @@ def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
         resolved["attach_mode"] = "broadcast" if fits else "join"
     if resolved["renumber"] == "auto":
         resolved["renumber"] = "dense" if n_rows <= cfg.dense_renumber_max_rows else "hash"
+
+    # Join-bucket sizing. The attach joins group by a hash bucket and each
+    # bucket is ONE map_groups task whose output block carries the pairs
+    # with both text columns attached — and the fused downstream feature/
+    # score stages inherit that task granularity. With a fixed bucket count
+    # a 500k-doc run put ~1.25M pairs (multi-GB with texts) in each of 16
+    # tasks: scoring ran memory-backpressured at <half the cluster's CPUs
+    # (measured 2,944s; see BASELINE.md round 4). Size bucket count so one
+    # bucket's attached output is ~64 MiB, floored at cluster width.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    est_pairs = n_rows * max(1, cfg.per_doc_topk)  # directed upper bound
+    pair_bytes = 2.0 * mean_text + 128.0  # two texts + ids/key/sim/overhead
+    rows_per_bucket = max(20_000.0, (64 * 2**20) / pair_bytes)
+    floor = max(cfg.num_partitions, ncpu)
+    resolved["join_partitions"] = int(min(4096, max(floor, -(-est_pairs // rows_per_bucket))))
+    # CC rows are just (id, id, weight) — ~40 B — so buckets hold far more
+    # rows; keep per-iteration task overhead low but never below cluster width
+    resolved["cc_partitions"] = int(min(4096, max(floor, -(-est_pairs // 1_500_000))))
     resolved["probe"] = {
         "n_rows": n_rows,
         "mean_text_bytes": mean_text,
@@ -143,10 +162,12 @@ def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
     }
     logger.info(
         "scale probe: %d rows × %.0f B/text → est broadcast %.1f MiB vs budget %.1f MiB "
-        "(%.0f%% of object store) → features_mode=%s attach_mode=%s renumber=%s",
+        "(%.0f%% of object store) → features_mode=%s attach_mode=%s renumber=%s "
+        "join_partitions=%d cc_partitions=%d",
         n_rows, mean_text, est_payload / 2**20, budget / 2**20,
         cfg.broadcast_max_fraction * 100, resolved["features_mode"],
         resolved["attach_mode"], resolved["renumber"],
+        resolved["join_partitions"], resolved["cc_partitions"],
     )
     return resolved
 
@@ -236,6 +257,8 @@ def run_er_pipeline(
     features_mode = paths["features_mode"]
     attach_mode = paths["attach_mode"]
     renumber = paths["renumber"]
+    join_par = int(paths.get("join_partitions", cfg.num_partitions))
+    cc_par = int(paths.get("cc_partitions", cfg.num_partitions))
 
     # 2-3. blocking → candidate pairs
     if cfg.blocking_mode == "knn":
@@ -300,7 +323,7 @@ def run_er_pipeline(
     else:
         with_texts = attach_doc_columns(
             pairs, norm, {"norm_text": ("src_text", "cand_text")},
-            mode=attach_mode, num_partitions=cfg.num_partitions,
+            mode=attach_mode, num_partitions=join_par,
             pairs_schema=pairs_schema, docs_schema=norm_schema,
         )
         feats_ds = pair_features(with_texts, vec_word, vec_char)
@@ -332,7 +355,7 @@ def run_er_pipeline(
         attach_cols["norm_text"] = ("src_text", "cand_text")
     if attach_cols:
         edges_sides = attach_doc_columns(
-            edges, norm, attach_cols, mode=attach_mode, num_partitions=cfg.num_partitions,
+            edges, norm, attach_cols, mode=attach_mode, num_partitions=join_par,
             pairs_schema=edges_schema, docs_schema=norm_schema,
         )
     else:
@@ -356,7 +379,7 @@ def run_er_pipeline(
         os.makedirs(cc_dir, exist_ok=True)
     clusters_flat = stage(
         cc_clusters(
-            kept, checkpoint_dir=cc_dir, num_partitions=cfg.num_partitions, renumber=renumber,
+            kept, checkpoint_dir=cc_dir, num_partitions=cc_par, renumber=renumber,
             driver_fallback_threshold=cfg.cc_driver_fallback,
         ),
         "08_clusters_cc",
@@ -369,7 +392,7 @@ def run_er_pipeline(
         clusters_transitive = stage(
             cohort_transitivity(
                 kept, min_prob=cfg.transitivity_min_prob, checkpoint_dir=coh_dir,
-                num_partitions=cfg.num_partitions,
+                num_partitions=cc_par,
                 driver_fallback_threshold=cfg.cc_driver_fallback,
             ),
             "10_clusters_transitive",

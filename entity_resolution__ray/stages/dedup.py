@@ -563,6 +563,21 @@ def near_dup_clusters(
     else:
         from .joins import attach_doc_columns
 
+        # Scale the attach-join bucket count with corpus size: each bucket is
+        # one map_groups task whose output block carries candidate pairs with
+        # BOTH texts attached, and the fused verify kernel inherits that task
+        # granularity (see er_pipeline.resolve_scale_paths for the measured
+        # failure mode at a fixed count). ~5k docs of pairs per bucket keeps
+        # blocks tens-of-MiB; floored at cluster width.
+        import ray as _ray
+
+        if probe_rows is None:
+            ds = ds.materialize()  # count + two downstream reads — one execution
+            n_docs_est = ds.count()
+        else:
+            n_docs_est = probe_rows
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        attach_par = int(min(4096, max(num_partitions, ncpu, -(-n_docs_est // 5_000))))
         docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
         # static schemas: the LSH candidate stream is a lazy pipeline — a
         # schema probe would execute its band sorts in full (see hash_join)
@@ -570,6 +585,7 @@ def near_dup_clusters(
         cand_id_t = ds_schema.field(id_col).type
         with_texts = attach_doc_columns(
             candidates, docs_proj, {"norm_text": ("src_text", "cand_text")}, mode=attach_mode,
+            num_partitions=attach_par,
             pairs_schema=pa.schema([pa.field("id_left", cand_id_t), pa.field("id_right", cand_id_t)]),
             docs_schema=pa.schema([pa.field("doc_id", cand_id_t),
                                    pa.field("norm_text", ds_schema.field(text_col).type)]),

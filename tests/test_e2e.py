@@ -181,3 +181,29 @@ def test_auto_scale_probe_and_forced_join_parity(ray_session, fixture_corpus):
 
     assert partition(base["clusters_cc"]) == partition(forced["clusters_cc"])
     assert partition(base["clusters_transitive"]) == partition(forced["clusters_transitive"])
+
+
+def test_scale_probe_sizes_join_buckets(ray_session, fixture_corpus):
+    """The probe must also size the attach-join bucket count: each bucket is
+    one map_groups task whose output (pairs + both texts) feeds the fused
+    feature/score stages, so bucket count == scoring parallelism AND block
+    size. Small corpora floor at max(num_partitions, cluster CPUs); a large
+    estimated pair volume must scale the count up (and stay capped)."""
+    from entity_resolution__ray.pipelines.er_pipeline import ERConfig, resolve_scale_paths
+    from entity_resolution__ray.stages.normalize import normalize_docs
+
+    norm = normalize_docs(rd.read_parquet(fixture_corpus["docs"])).materialize()
+
+    sp = resolve_scale_paths(norm, ERConfig(num_partitions=4))
+    import ray as _ray
+
+    floor = max(4, int(_ray.cluster_resources().get("CPU", 8)))
+    assert sp["join_partitions"] == floor  # small corpus: floor only
+    assert sp["cc_partitions"] == floor
+
+    # inflate the estimated pair volume via per_doc_topk: est_pairs = n×topk
+    big = resolve_scale_paths(norm, ERConfig(num_partitions=4, per_doc_topk=1_000_000))
+    assert big["join_partitions"] > 4 * floor
+    assert big["join_partitions"] <= 4096
+    # CC rows are tiny — its bucket count scales far slower than the attach's
+    assert big["cc_partitions"] <= big["join_partitions"]

@@ -107,3 +107,22 @@ def test_rows_only_queries_run(entry_mod):
     # inside the query) is the only rows-only entry; every other query is
     # oracle-checked above.
     assert set(entry_mod.queries()) - set(entry_mod.oracle_sql()) == {"er_clusters"}
+
+
+def test_force_scale_paths_env_knob_parity(entry_mod, monkeypatch):
+    """GRAFT_ER_FORCE_SCALE_PATHS=1 must flip er_clusters onto the
+    beyond-object-store paths (features_mode=texts / attach_mode=join /
+    renumber=hash via a ~0 probe budget) and produce the SAME cluster
+    partition as the default broadcast paths. Partition comparison is by
+    member-set (hash renumbering assigns different cluster ids than dense)."""
+
+    def partition(df):
+        groups = df.groupby("cluster_id")["node_id"].apply(lambda s: tuple(sorted(s)))
+        return sorted(groups.tolist())
+
+    q = entry_mod.queries()["er_clusters"]
+    monkeypatch.delenv("GRAFT_ER_FORCE_SCALE_PATHS", raising=False)
+    base = _to_pandas(q(SF_DIR))
+    monkeypatch.setenv("GRAFT_ER_FORCE_SCALE_PATHS", "1")
+    forced = _to_pandas(q(SF_DIR))
+    assert partition(base) == partition(forced)
