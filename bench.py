@@ -49,6 +49,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # surface the engine's probe decisions + phase timings (logged at INFO)
+    # in the bench stderr even though ray itself runs at ERROR
+    import logging
+
+    eng = logging.getLogger("entity_resolution__ray")
+    if not eng.handlers:
+        h = logging.StreamHandler(sys.stderr)
+        h.setFormatter(logging.Formatter("[engine] %(message)s"))
+        eng.addHandler(h)
+    eng.setLevel(logging.INFO)
+
     import ray.data as rd
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -246,10 +246,14 @@ def run_er_pipeline(
     # 1. normalize (span flatten + tokens + countries); spans pass through
     # untouched. Always materialized: it feeds blocking keys, stopwords, the
     # vectorizer fit and both broadcast attaches.
+    import time as _time
+
     need_geo = cfg.use_geo or cfg.run_cohort_transitivity
+    _t0 = _time.time()
     norm = checkpoint_stage(
         normalize_docs(docs, extract_countries=need_geo), workdir, "01_normalized"
     )
+    logger.info("phase normalize+materialize: %.1fs", _time.time() - _t0)
 
     # resolve "auto" path selectors from the corpus-size probe (norm is
     # materialized, so the probe costs one count + one 1k-row sample)
@@ -278,7 +282,9 @@ def run_er_pipeline(
         if cfg.blocking_stopword_df is not None and cfg.use_token_keys:
             from ..stages.blocking import dataset_stopwords
 
+            _t0 = _time.time()
             stop_tokens = dataset_stopwords(norm, freq_cutoff=cfg.blocking_stopword_df)
+            logger.info("phase dataset_stopwords: %.1fs", _time.time() - _t0)
         keys = emit_block_keys(
             norm,
             min_token_len=cfg.min_token_len,
@@ -313,7 +319,9 @@ def run_er_pipeline(
         )
 
     # 4-5. feature kernel (8 features, actor pool)
+    _t0 = _time.time()
     vec_word, vec_char = fit_pair_vectorizers(norm, sample_limit=cfg.vectorizer_sample_limit)
+    logger.info("phase fit_pair_vectorizers: %.1fs", _time.time() - _t0)
     training = model is None
     edges_fields = list(pairs_schema)
     if features_mode == "bundles":
@@ -346,6 +354,16 @@ def run_er_pipeline(
 
     # 7. score all pairs (actor pool)
     edges = stage(score_pairs(feats, model), "04_edges", rows_in_from="03_pair_features")
+
+    # In texts mode the scored edges still carry both full text columns; the
+    # countries attach below re-shuffles every edge row, and the texts are
+    # ~10× the rest of the row. Unless the token-overlap constraint needs
+    # them, project them away first — this also makes the kept/dropped edge
+    # schema identical across the broadcast and join feature paths.
+    if "src_text" in edges_schema.names and not cfg.use_token_overlap:
+        keep_cols = [n for n in edges_schema.names if n not in ("src_text", "cand_text")]
+        edges = edges.select_columns(keep_cols)
+        edges_schema = pa.schema([edges_schema.field(n) for n in keep_cols])
 
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
     attach_cols = {}
