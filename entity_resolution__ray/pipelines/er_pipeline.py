@@ -135,6 +135,17 @@ def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
         resolved["attach_mode"] = "broadcast" if fits else "join"
     if resolved["renumber"] == "auto":
         resolved["renumber"] = "dense" if n_rows <= cfg.dense_renumber_max_rows else "hash"
+    # Stage fusion flips off with the scale paths: fused, the blocking sorts,
+    # both attach joins, the feature/score stages and the CC contraction run
+    # as ONE streaming topology with ~8 all-to-all exchanges, and past ~100k
+    # docs the driver's scheduling loop burns its core on per-step bundle/
+    # metrics accounting over that operator DAG while task dispatch starves
+    # (observed directly on the 500k dedup run: 3 tasks/min, 31 idle cores,
+    # stack in streaming_executor._update_stats_metrics). Materializing each
+    # stage bounds the live DAG — and is the checkpoint layout a resumable
+    # 100-TB run wants anyway. Small corpora keep full fusion (lazy bench
+    # mode), where per-stage barriers would dominate.
+    resolved["fuse_stages"] = fits
 
     # Join-bucket sizing. The attach joins group by a hash bucket and each
     # bucket is ONE map_groups task whose output block carries the pairs
@@ -163,11 +174,12 @@ def resolve_scale_paths(norm: Dataset, cfg: ERConfig) -> Dict[str, object]:
     logger.info(
         "scale probe: %d rows × %.0f B/text → est broadcast %.1f MiB vs budget %.1f MiB "
         "(%.0f%% of object store) → features_mode=%s attach_mode=%s renumber=%s "
-        "join_partitions=%d cc_partitions=%d",
+        "join_partitions=%d cc_partitions=%d fuse_stages=%s",
         n_rows, mean_text, est_payload / 2**20, budget / 2**20,
         cfg.broadcast_max_fraction * 100, resolved["features_mode"],
         resolved["attach_mode"], resolved["renumber"],
         resolved["join_partitions"], resolved["cc_partitions"],
+        resolved["fuse_stages"],
     )
     return resolved
 
@@ -225,7 +237,10 @@ def run_er_pipeline(
         into one streaming execution in lazy benchmark mode. ``rows_in_from``
         names the upstream stage whose manifest rows_out is this stage's
         rows_in (manifests then record rows_dropped per stage)."""
-        if workdir is None and cfg.lazy_stages and not multi_consumer:
+        # fuse_stages is assigned after the scale probe below, before the
+        # first stage() call — late closure binding picks it up; the probe
+        # disables fusion in the join/scale regime (see resolve_scale_paths)
+        if workdir is None and cfg.lazy_stages and fuse_stages and not multi_consumer:
             return ds
         rows_in = None
         if workdir is not None and rows_in_from is not None:
@@ -263,6 +278,7 @@ def run_er_pipeline(
     renumber = paths["renumber"]
     join_par = int(paths.get("join_partitions", cfg.num_partitions))
     cc_par = int(paths.get("cc_partitions", cfg.num_partitions))
+    fuse_stages = bool(paths.get("fuse_stages", True))
 
     # 2-3. blocking → candidate pairs
     if cfg.blocking_mode == "knn":

@@ -176,44 +176,30 @@ from .blocking import key_sorted_dedup_arrow as _key_sorted_dedup  # noqa: E402
 from .blocking import triu_pairs_by_size as _triu_pairs  # noqa: E402
 
 
-def _emit_salted_group(ids: np.ndarray, band_key, max_group_size: int):
-    """Salting policy for one oversized band group (same as
-    blocking.PairEmitter): hash-split into ceil(m/max) sub-groups, pairs
-    within sub-groups only; cross-salt pairs are DROPPED with the count
-    logged, never silently truncated. Returns (ii, jj) positional indices."""
-    from .blocking import _salts_of
-
-    m = len(ids)
-    n_sub = -(-m // max_group_size)
-    salts = _salts_of(ids, n_sub)
-    dropped = m * (m - 1) // 2
-    parts_ii, parts_jj = [], []
-    for s in range(n_sub):
-        members = np.nonzero(salts == s)[0]
-        k = len(members)
-        if k < 2:
-            continue
-        ti, tj = np.triu_indices(k, 1)
-        parts_ii.append(members[ti])
-        parts_jj.append(members[tj])
-        dropped -= k * (k - 1) // 2
-    logger.info(
-        "lsh: hot band %r (%d docs) salted into %d sub-groups; %d cross-salt pairs dropped",
-        band_key, m, n_sub, dropped,
-    )
-    if not parts_ii:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(parts_ii), np.concatenate(parts_jj)
-
-
-def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset:
+def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 64) -> Dataset:
     """band groups → canonical candidate pairs (deduped).
 
     Pair emission is vectorized at the BUCKET level: one sort per bucket
     finds group boundaries, then all groups of equal size m emit their
     triu-index pairs in one broadcasted add (band keys are mostly singletons
     — a per-key Python loop here was 23s of the sf0.1 dedup wall; this form
-    is ~50×). Oversized groups fall back to the salted per-group path."""
+    is ~50×).
+
+    Groups larger than ``max_group_size`` emit a STAR (every member → the
+    group's min-id member, O(m) edges) instead of the full O(m²) triu. A
+    band bucket that large is near-certainly one true near-dup cluster
+    (random collision per band is t^r ≈ 3e-5; see MinHashLSHKeys), so the
+    star's spokes verify and transitive closure recovers the exact cluster.
+    Without this cap a dup-dense corpus is quadratic in cluster size: the
+    500k-doc scale corpus (every doc in a ~100-200-replica cluster) emitted
+    108.9M candidate pairs, and the verify join's text-attached stream
+    (~30+ GB) ground a 32-CPU node into object-store backpressure. With the
+    star cap candidate volume is O(docs-in-dup-clusters). Recall caveat
+    (documented, logged): if a giant bucket mixes docs that are NOT near-dups
+    of the min member, their spokes fail verification and any true pair among
+    the non-members must be caught by another band (p ≈ 1-(1-t^r)^(b-1) per
+    band set) — the standard LSH-dedup trade; exact triu is preserved for
+    every group ≤ ``max_group_size``, which covers the oracle corpora."""
 
     def emit_bucket(g: pa.Table) -> pa.Table:
         id_type = g.schema.field("doc_id").type
@@ -222,17 +208,28 @@ def _pairs_from_band_groups(keys: Dataset, max_group_size: int = 512) -> Dataset
         )
         if g.num_rows == 0:
             return empty
-        kc, ids_np, _, kdict = _key_sorted_dedup(g, "band_key", "doc_id")
+        kc, ids_np, _, _kdict = _key_sorted_dedup(g, "band_key", "doc_id")
         starts, sizes = _group_bounds(kc, len(kc))
         giant = sizes > max_group_size
         il, ir = _triu_pairs(starts, sizes, ~giant)
         out_l, out_r = [il], [ir]
-        for gi in np.nonzero(giant)[0]:
-            s = starts[gi]
-            members = ids_np[s: s + sizes[gi]]
-            ii, jj = _emit_salted_group(members, kdict[int(kc[s])].as_py(), max_group_size)
-            out_l.append(s + ii)
-            out_r.append(s + jj)
+        n_giants = int(np.count_nonzero(giant))
+        if n_giants:
+            # star: within-group ids are sorted ascending (key_sorted_dedup),
+            # so position starts[gi] is the min id — spokes are canonical
+            # (min, other) pairs already
+            gs = starts[giant]
+            gm = sizes[giant]
+            centers = np.repeat(gs, gm - 1)
+            offs = np.concatenate([np.arange(1, m, dtype=np.int64) for m in gm])
+            out_l.append(centers)
+            out_r.append(centers + offs)
+            logger.info(
+                "lsh: %d giant band groups (max %d docs) capped to star emission "
+                "(%d spokes vs %d triu pairs)",
+                n_giants, int(gm.max()), int((gm - 1).sum()),
+                int((gm.astype(np.int64) * (gm - 1) // 2).sum()),
+            )
         il = np.concatenate(out_l)
         ir = np.concatenate(out_r)
         if len(il) == 0:
@@ -578,6 +575,24 @@ def near_dup_clusters(
             n_docs_est = probe_rows
         ncpu = int(_ray.cluster_resources().get("CPU", 8))
         attach_par = int(min(4096, max(num_partitions, ncpu, -(-n_docs_est // 5_000))))
+        # Cut the streaming DAG at the candidate boundary. Left lazy, the LSH
+        # band sort + pair-dedup shuffles fuse with the two attach joins, the
+        # verify kernel and the CC contraction into ONE topology with ~8
+        # all-to-all stages — at 500k docs the driver's scheduling loop spent
+        # ~100% CPU on per-step bundle/metrics accounting over that operator
+        # DAG and task dispatch starved (measured 3 tasks/min with 31 idle
+        # cores; stack: streaming_executor._update_stats_metrics /
+        # process_completed_tasks). The candidate table is ids-only
+        # (~16 B/row), so this cut is cheap, and it is the same stage
+        # boundary a resumable 100-TB run persists anyway.
+        import time as _time
+
+        _t0 = _time.time()
+        candidates = candidates.materialize()
+        logger.info(
+            "dedup join path: %d candidate pairs materialized in %.1fs (attach_par=%d)",
+            candidates.count(), _time.time() - _t0, attach_par,
+        )
         docs_proj = ds.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id", text_col: "norm_text"})
         # static schemas: the LSH candidate stream is a lazy pipeline — a
         # schema probe would execute its band sorts in full (see hash_join)
@@ -594,6 +609,19 @@ def near_dup_clusters(
         verified = with_texts.map_batches(
             lambda t, v=verifier: v(t), batch_format="pyarrow", zero_copy_batch=True,
         ).map_batches(lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)), batch_format="pyarrow")
+        # Second DAG cut before the contraction (same driver-overload failure
+        # mode as above): the verified edge list is (id, id, jaccard) —
+        # tiny relative to the text-carrying join stream it distills — and
+        # its real size lets the CC bucket count scale with the graph
+        # instead of inheriting a fixed default.
+        _t0 = _time.time()
+        verified = verified.materialize()
+        n_edges = verified.count()
+        num_partitions = int(min(4096, max(num_partitions, ncpu, -(-n_edges // 1_500_000))))
+        logger.info(
+            "dedup join path: %d verified edges materialized in %.1fs (cc_partitions=%d)",
+            n_edges, _time.time() - _t0, num_partitions,
+        )
     # CC operates on string node ids (its min-label sentinel is a string);
     # numeric ids are zero-padded so lexicographic order == numeric order,
     # then cast back on the way out.

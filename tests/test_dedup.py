@@ -171,3 +171,31 @@ def test_near_dup_attach_mode_parity(ray_session):
     p_b = partition(near_dup_clusters(docs, cands, threshold=0.7, attach_mode="broadcast"))
     p_j = partition(near_dup_clusters(docs, cands, threshold=0.7, attach_mode="join"))
     assert p_b == p_j and len(p_b) > 0
+
+
+def test_giant_band_group_star_emission(ray_session):
+    """A band group larger than max_group_size emits a star (min-id member →
+    every other member, O(m) edges) instead of the O(m²) triu, and the
+    transitive closure still recovers the full cluster. 120 near-identical
+    replicas (same base text + short suffix) all land in shared band groups;
+    with max_group_size=64 the candidate count must be O(m·bands), far below
+    C(120,2), and minhash_lsh_dedup must still cluster all 120 together."""
+    from entity_resolution__ray.stages.dedup import _pairs_from_band_groups, near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    rows = [{"doc_id": i, "text": f"{base} r{i}"} for i in range(120)]
+    docs = rd.from_items(rows)
+
+    keys = docs.map_batches(
+        MinHashLSHKeys(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = _pairs_from_band_groups(keys, max_group_size=64).to_pandas()
+    n_pairs = len(pairs)
+    assert 119 <= n_pairs < 120 * 119 // 2  # star-bounded, not quadratic
+    # every spoke is canonical (left < right)
+    assert (pairs["id_left"] < pairs["id_right"]).all()
+
+    out = minhash_lsh_dedup(docs, threshold=0.8).to_pandas()
+    assert len(out) == 120
+    assert out["dup_group"].nunique() == 1  # one cluster, all 120 members
+    assert out["dup_group"].unique()[0] == 0  # labeled by min doc id
