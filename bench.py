@@ -41,8 +41,17 @@ def _consume(result) -> int:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # RAY_GRAFT_OBJECT_STORE_GB: explicit plasma sizing for the large-corpus
+    # scale runs. Ray's local default (~43% of RAM here) leaves the store
+    # smaller than one bulk exchange of a 500k-doc run, and the reservation
+    # allocator then throttles dispatch long before plasma is actually full;
+    # Ray's own startup warning recommends ≥50%. Unset → Ray's default.
+    osm_gb = os.environ.get("RAY_GRAFT_OBJECT_STORE_GB")
+    init_kwargs = {}
+    if osm_gb:
+        init_kwargs["object_store_memory"] = int(float(osm_gb) * 2**30)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **init_kwargs)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -351,8 +351,22 @@ def run_er_pipeline(
             pairs_schema=pairs_schema, docs_schema=norm_schema,
         )
         feats_ds = pair_features(with_texts, vec_word, vec_char)
-        text_t = norm_schema.field("norm_text").type
-        edges_fields += [pa.field("src_text", text_t), pa.field("cand_text", text_t)]
+        if cfg.use_token_overlap:
+            text_t = norm_schema.field("norm_text").type
+            edges_fields += [pa.field("src_text", text_t), pa.field("cand_text", text_t)]
+        else:
+            # Drop the texts the moment the feature kernel has consumed them:
+            # everything downstream of here (scoring, constraints, CC) works
+            # on the 8 feature floats + ids, and in the un-fused scale regime
+            # the 03/04 stage materializations would otherwise pin ~600 B/row
+            # of text per pair in the object store (≈15 GB at 500k docs /
+            # 20M pairs — measured as a 40 GB pending-spill pile-up that
+            # throttled the whole run). The token-overlap constraint is the
+            # only text consumer; when enabled the texts stay on the rows.
+            feats_ds = feats_ds.map_batches(
+                lambda t: t.drop_columns(["src_text", "cand_text"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
     edges_schema = pa.schema(
         edges_fields
         + [pa.field(c, pa.float64()) for c in FEATURE_COLS]
@@ -371,17 +385,10 @@ def run_er_pipeline(
     # 7. score all pairs (actor pool)
     edges = stage(score_pairs(feats, model), "04_edges", rows_in_from="03_pair_features")
 
-    # In texts mode the scored edges still carry both full text columns; the
-    # countries attach below re-shuffles every edge row, and the texts are
-    # ~10× the rest of the row. Unless the token-overlap constraint needs
-    # them, project them away first — this also makes the kept/dropped edge
-    # schema identical across the broadcast and join feature paths.
-    if "src_text" in edges_schema.names and not cfg.use_token_overlap:
-        keep_cols = [n for n in edges_schema.names if n not in ("src_text", "cand_text")]
-        edges = edges.select_columns(keep_cols)
-        edges_schema = pa.schema([edges_schema.field(n) for n in keep_cols])
-
     # 8. constraints: threshold + geo (+ optional token overlap), kept/dropped splits
+    # (in texts mode without token-overlap the texts were already dropped at
+    # the feature kernel, so the kept/dropped edge schema is identical across
+    # the broadcast and join feature paths)
     attach_cols = {}
     if cfg.use_geo or cfg.run_cohort_transitivity:
         attach_cols["countries"] = ("src_countries", "cand_countries")

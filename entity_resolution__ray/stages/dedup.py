@@ -750,7 +750,15 @@ def simhash_candidates(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
 
     Recall is exact for max_hamming ≤ 3 (4×16-bit bands, pigeonhole), so with
     ``hash_mode="md5"`` the output is the deterministic set of ALL pairs at
-    Hamming ≤ 3 — replicable by a SQL oracle computing md5-based simhashes."""
+    Hamming ≤ 3 — replicable by a SQL oracle computing md5-based simhashes.
+
+    Exactness means pair volume is inherently O(Σ m²) over near-identical
+    clusters of size m — on a dup-dense corpus (e.g. the ×100 replica scale
+    corpus, m ≈ 100-200) that is quadratic per cluster BY CONTRACT. The
+    emitted rows are ids+hamming only (no text riding), so the cost is a
+    bounded shuffle, not an object-store blowup; for cluster-shaped dedup at
+    that density use minhash_lsh_dedup, whose star cap is O(m) per giant
+    group (see _pairs_from_band_groups)."""
     keyer = SimHashKeys(text_col=text_col, id_col=id_col, hash_mode=hash_mode)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow", zero_copy_batch=True)
 
