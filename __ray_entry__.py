@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_stratified_sample": _q_stratified_sample,
         "cur_canonical_docs": _q_canonical_docs,
         "cur_lang_rollup": _q_lang_rollup,
+        "cur_decontaminate": _q_decontaminate,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -388,6 +389,29 @@ def _q_lang_rollup(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["lang", "text", "n_chars"])
     return group_rollup(ds, key_col="lang")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any token 3-gram with the
+    deterministic "benchmark" subset (doc_id % 50 == 0) are flagged. The
+    benchmark gram set is broadcast (one ray.put); the corpus streams through
+    a hash-prefilter + exact-confirm probe (stages/decontaminate.py). n=3
+    keeps the SQL oracle exact on the short synthetic texts; the production
+    default is n=13."""
+    from entity_resolution__ray.stages.decontaminate import (
+        collect_benchmark_grams,
+        decontaminate,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bench = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    grams = collect_benchmark_grams(bench, n=3)
+    return decontaminate(docs, grams, n=3).select_columns(["doc_id", "contaminated"])
 
 
 def _q_session_window(sf_dir: str):
@@ -902,6 +926,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sizes s1 ON s1.doc_id = p.id_left
             LEFT JOIN sizes s2 ON s2.doc_id = p.id_right
             LEFT JOIN inter i ON i.id_left = p.id_left
+        """,
+        "cur_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                    FROM toks WHERE len(tk) >= 3)
+            ),
+            bad AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bad USING (g))
+            SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
         """,
         "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2)
