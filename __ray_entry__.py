@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_canonical_docs": _q_canonical_docs,
         "cur_lang_rollup": _q_lang_rollup,
         "cur_decontaminate": _q_decontaminate,
+        "cur_redact_pii": _q_redact_pii,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -414,6 +415,40 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, grams, n=3).select_columns(["doc_id", "contaminated"])
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over the documents table, with deterministic PII
+    injection first (the synthetic corpus contains none) so the redaction
+    kernel does real work: every doc gains an email + an IPv4 derived from
+    doc_id; every 5th a card number; every 7th a phone. The identical
+    injection expression runs in the SQL oracle, and the patterns themselves
+    come from ONE module constant (stages/pii.py REDACTIONS) rendered into
+    SQL by oracle_redact_sql — kernel and oracle cannot drift."""
+    from entity_resolution__ray.stages.pii import redact_pii
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        s = pc.cast(did, pa.string())
+        mod5 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 5), 5)), pa.int64())
+        mod7 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 7), 7)), pa.int64())
+        card = pc.if_else(pc.equal(mod5, 0), " card 4111 1111 1111 1111", "")
+        phone = pc.if_else(pc.equal(mod7, 0), " tel +1 415 555 0199", "")
+        mod200 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 200), 200)), pa.string())
+        mod250 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 250), 250)), pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks(), ""),
+            " contact user", s, "@mail.example.com from 10.", mod200, ".0.", mod250,
+            card, phone, "",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", aug)
+
+    injected = docs.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(injected).select_columns(
+        ["doc_id", "text", "n_email", "n_card", "n_ip", "n_phone"]
+    )
+
+
 def _q_session_window(sf_dir: str):
     from entity_resolution__ray.stages.windows import session_windows
 
@@ -662,6 +697,29 @@ def _lang_id_oracle_sql() -> str:
                     WHEN b.lang IS NOT NULL THEN b.lang
                     ELSE 'und' END AS lang_pred
         FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """
+
+
+def _redact_pii_oracle_sql() -> str:
+    """SQL replica of _q_redact_pii: identical deterministic injection, then
+    the redaction expressions rendered from the SAME pattern table the Ray
+    kernel uses (stages/pii.py oracle_redact_sql)."""
+    from entity_resolution__ray.stages.pii import oracle_redact_sql
+
+    inject = (
+        "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' tel +1 415 555 0199' ELSE '' END"
+    )
+    ex = oracle_redact_sql("aug")
+    return f"""
+        WITH injected AS (SELECT doc_id, {inject} AS aug FROM documents)
+        SELECT doc_id, {ex['text']} AS text,
+               {ex['n_email']} AS n_email, {ex['n_card']} AS n_card,
+               {ex['n_ip']} AS n_ip, {ex['n_phone']} AS n_phone
+        FROM injected
     """
 
 
@@ -944,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
         """,
+        "cur_redact_pii": _redact_pii_oracle_sql(),
         "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2)
             SELECT qid AS query_idx, e.vec_id,

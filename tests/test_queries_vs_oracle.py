@@ -82,6 +82,8 @@ SQL_CHECKED = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "lang_id",
+    "cur_decontaminate",
+    "cur_redact_pii",
 ]
 
 
