@@ -63,14 +63,28 @@ class NERExtractor:
     """
 
     def __init__(self, model_type: str = "rule", text_col: str = "full_text",
-                 backoff: Optional[str] = "rule"):
-        if model_type in ("spacy", "hf"):
+                 backoff: Optional[str] = "rule",
+                 model_factory=None, backoff_factory=None):
+        """``model_factory`` is the injection seam for real backends: a
+        zero-arg picklable callable (top-level function / functools.partial —
+        it ships to each actor) returning an object with
+        ``extract(text) -> list[{"text": ..., "label": ...}]``. A user with
+        spaCy installed wraps ``spacy.load(...)`` in such a factory; the load
+        then runs ONCE PER ACTOR here in ``__init__``, never per batch.
+        ``backoff_factory`` likewise for the backoff-on-empty model."""
+        if model_factory is not None:
+            self.model = model_factory()  # loaded once per actor
+        elif model_type in ("spacy", "hf"):
             raise NotImplementedError(
                 f"{model_type} NER backend requires spacy/transformers — not in this container; "
-                "model_type='rule' exercises the same actor plumbing"
+                "pass model_factory= to inject an installed backend, or use model_type='rule'"
             )
-        self.model = RuleNERModel()  # loaded once per actor
-        self.backoff_model = RuleNERModel() if backoff else None
+        else:
+            self.model = RuleNERModel()  # loaded once per actor
+        if backoff_factory is not None:
+            self.backoff_model = backoff_factory()
+        else:
+            self.backoff_model = RuleNERModel() if backoff else None
         self.text_col = text_col
 
     # --- TokenProcessor semantics (token_processor.py:24-53) ---------------
@@ -120,11 +134,15 @@ class NERExtractor:
 
 
 def ner_tokenize(docs: Dataset, text_col: str = "full_text", batch_size: int = 256,
-                 concurrency=(1, 8)) -> Dataset:
-    """EP1 as one actor-pool stage: read → extract → token columns in place."""
+                 concurrency=(1, 8), model_factory=None) -> Dataset:
+    """EP1 as one actor-pool stage: read → extract → token columns in place.
+    ``model_factory`` injects a custom NER backend (see NERExtractor)."""
+    kwargs = {"text_col": text_col}
+    if model_factory is not None:
+        kwargs["model_factory"] = model_factory
     return docs.map_batches(
         NERExtractor,
-        fn_constructor_kwargs={"text_col": text_col},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

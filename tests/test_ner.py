@@ -49,3 +49,36 @@ def test_ner_stage(ray_session):
     assert "Stanford University<ORG>" in out["affil_tokens_labeled"].iloc[0]
     assert "United States<GPE>" in out["affil_tokens_labeled"].iloc[0]
     assert out["affil_tokens"].iloc[1] == ""
+
+
+def test_model_factory_seam_injects_custom_backend(ray_session):
+    # Defined INSIDE the test so cloudpickle ships them by VALUE: pytest test
+    # modules aren't importable from Ray workers (module-level helpers here
+    # would unpickle as `import test_ner` → ModuleNotFoundError and the actor
+    # pool would retry forever). A real user's factory lives in an importable
+    # module, so by-reference pickling works for them.
+    class _FakeSpacyLikeModel:
+        """Duck-typed stand-in for a real spaCy/HF backend: proves the
+        model_factory seam ships a user model object into the actor pool and
+        that extraction runs against IT (not the rule model)."""
+
+        def __init__(self):
+            self.loads = 1  # would be spacy.load(...) — once per actor
+
+        def extract(self, text):
+            return [{"text": w, "label": "FAKE"} for w in (text or "").split()[:2]]
+
+    def _fake_factory():
+        return _FakeSpacyLikeModel()
+
+    ds = rd.from_items(
+        [{"full_text": "alpha beta gamma"}, {"full_text": "solo"}],
+        override_num_blocks=1,
+    )
+    out = ner_tokenize(ds, model_factory=_fake_factory).to_pandas()
+    assert out["affil_tokens_labeled"].iloc[0] == "alpha<FAKE>; beta<FAKE>"
+    assert out["affil_tokens_labeled"].iloc[1] == "solo<FAKE>"
+    # direct construction takes the same seam (no NotImplementedError even
+    # though no transformer lib is installed)
+    ex = NERExtractor(model_factory=_fake_factory, backoff=None)
+    assert isinstance(ex.model, _FakeSpacyLikeModel)
