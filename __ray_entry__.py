@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_lang_rollup": _q_lang_rollup,
         "cur_decontaminate": _q_decontaminate,
         "cur_redact_pii": _q_redact_pii,
+        "cur_quality_gopher": _q_quality_gopher,
+        "cur_remove_boilerplate": _q_remove_boilerplate,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -446,6 +448,71 @@ def _q_redact_pii(sf_dir: str):
     injected = docs.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
     return redact_pii(injected).select_columns(
         ["doc_id", "text", "n_email", "n_card", "n_ip", "n_phone"]
+    )
+
+
+def _mod_col(did: pa.Array, k: int) -> pa.Array:
+    """doc_id % k as an Arrow int64 column (pc.divide on ints truncates)."""
+    return pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, k), k)), pa.int64())
+
+
+_GOPHER_SPAM = " spam" * 9  # repeat(' spam', 9) — identical literal in the oracle
+
+
+def _q_quality_gopher(sf_dir: str):
+    """Gopher-style repetition/quality filter. The synthetic corpus has no
+    line structure, so deterministic repetition is injected first (every 5th
+    doc gains a duplicated promo line, every 7th a sponsor line, every 11th a
+    9× repeated word) — the identical expression runs in the SQL oracle, the
+    stats + keep flag come from stages/text_analysis.repetition_features."""
+    from entity_resolution__ray.stages.text_analysis import repetition_filter
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        p1 = pc.if_else(
+            pc.equal(_mod_col(did, 5), 0),
+            "\npromo offer click here now\npromo offer click here now", "",
+        )
+        p2 = pc.if_else(pc.equal(_mod_col(did, 7), 0), "\nvisit our sponsor page", "")
+        p3 = pc.if_else(pc.equal(_mod_col(did, 11), 0), _GOPHER_SPAM, "")
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks(), ""), p1, p2, p3, ""
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", aug)
+
+    injected = docs.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return repetition_filter(injected).select_columns(
+        ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+         "top_word_frac", "mean_word_len", "keep"]
+    )
+
+
+def _q_remove_boilerplate(sf_dir: str):
+    """Corpus-global boilerplate-line removal (C4/CCNet pass). Injection gives
+    every doc a per-doc footer (df=1, must survive), ~half a newsletter line
+    and a third one of three copyright variants (df ≫ min_df, must be
+    removed); the identical expression runs in the SQL oracle."""
+    from entity_resolution__ray.stages.curation import remove_boilerplate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        head1 = pc.if_else(pc.equal(_mod_col(did, 2), 0), "subscribe to our newsletter\n", "")
+        head2 = pc.binary_join_element_wise(
+            "copyright ", pc.cast(_mod_col(did, 3), pa.string()), " example corp\n", ""
+        )
+        tail = pc.binary_join_element_wise("\ndoc footer ", pc.cast(did, pa.string()), "")
+        aug = pc.binary_join_element_wise(
+            head1, head2, pc.fill_null(t["text"].combine_chunks(), ""), tail, ""
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", aug)
+
+    injected = docs.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return remove_boilerplate(injected, min_df=10).select_columns(
+        ["doc_id", "text", "n_removed"]
     )
 
 
@@ -1003,6 +1070,93 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
         """,
         "cur_redact_pii": _redact_pii_oracle_sql(),
+        "cur_quality_gopher": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'promo offer click here now'
+                               || chr(10) || 'promo offer click here now' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'visit our sponsor page' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN '{_GOPHER_SPAM}' ELSE '' END
+                     AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM base)
+              WHERE trim(l) <> ''
+            ),
+            lstat AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+                      FROM lines GROUP BY doc_id, line),
+            ldoc AS (
+              SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                     sum(len * (cnt - 1)) AS dup_chars, sum(len * cnt) AS tot_chars
+              FROM lstat GROUP BY doc_id
+            ),
+            words AS (
+              SELECT doc_id, lower(w) AS w
+              FROM (SELECT doc_id,
+                           unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                       ELSE string_split_regex(trim(text), '\\s+') END) AS w
+                    FROM base)
+            ),
+            wstat AS (SELECT doc_id, w, count(*) AS cnt, length(w) AS len
+                      FROM words GROUP BY doc_id, w),
+            wdoc AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_cnt,
+                            sum(len * cnt) AS sum_len
+                     FROM wstat GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+                   round(coalesce((l.n_lines - l.n_distinct) * 1.0 / greatest(l.n_lines, 1), 0), 6)
+                     AS dup_line_frac,
+                   round(coalesce(l.dup_chars * 1.0 / greatest(l.tot_chars, 1), 0), 6)
+                     AS dup_line_char_frac,
+                   round(coalesce(w.top_cnt * 1.0 / greatest(w.n_words, 1), 0), 6)
+                     AS top_word_frac,
+                   round(coalesce(w.sum_len * 1.0 / greatest(w.n_words, 1), 0), 6)
+                     AS mean_word_len,
+                   (CASE WHEN coalesce((l.n_lines - l.n_distinct) * 1.0 / greatest(l.n_lines, 1), 0) <= 0.3
+                          AND coalesce(l.dup_chars * 1.0 / greatest(l.tot_chars, 1), 0) <= 0.2
+                          AND coalesce(w.top_cnt * 1.0 / greatest(w.n_words, 1), 0) <= 0.2
+                          AND coalesce(w.n_words, 0) >= 5
+                          AND coalesce(w.sum_len * 1.0 / greatest(w.n_words, 1), 0) >= 3.0
+                          AND coalesce(w.sum_len * 1.0 / greatest(w.n_words, 1), 0) <= 10.0
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM base b
+            LEFT JOIN ldoc l USING (doc_id)
+            LEFT JOIN wdoc w USING (doc_id)
+        """,
+        "cur_remove_boilerplate": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+                     || 'copyright ' || (doc_id % 3)::VARCHAR || ' example corp' || chr(10)
+                     || coalesce(text, '')
+                     || chr(10) || 'doc footer ' || doc_id::VARCHAR AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS ord
+              FROM base
+            ),
+            bl AS (SELECT trim(l) AS line FROM lines WHERE trim(l) <> ''
+                   GROUP BY trim(l) HAVING count(DISTINCT doc_id) >= 10),
+            kept AS (SELECT doc_id, l, ord FROM lines
+                     WHERE trim(l) NOT IN (SELECT line FROM bl)),
+            agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY ord) AS text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(a.text, '') AS text,
+                   (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+            FROM base b
+            JOIN tot t USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+        """,
         "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2)
             SELECT qid AS query_idx, e.vec_id,

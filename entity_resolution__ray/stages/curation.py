@@ -11,8 +11,13 @@
   * group_rollup — per-key corpus statistics (docs, chars, whitespace
     tokens) as a pre-aggregated shuffle: partial sums inside map_batches,
     one tiny groupby at the end — no all-to-all on the raw rows.
+  * remove_boilerplate — corpus-global frequent-line removal (the C4/CCNet
+    boilerplate pass): line → distinct-doc-frequency via a pre-aggregated
+    hash shuffle, lines above ``min_df`` broadcast once with ``ray.put``,
+    then a vectorized per-doc line filter. Two phases, one shuffle of
+    (line, partial-df) rows only — the documents themselves never shuffle.
 
-All three are one-hash-shuffle operators: rows move once, per-group work is
+All are one-hash-shuffle operators: rows move once, per-group work is
 vectorized pandas/Arrow inside buckets.
 """
 
@@ -119,3 +124,104 @@ def group_rollup(
     from .blocking import bucketed_apply
 
     return bucketed_apply(partials, [key_col], merge, num_buckets=16)
+
+
+def boilerplate_lines(
+    ds: Dataset,
+    min_df: int,
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> Dataset:
+    """Phase 1 of :func:`remove_boilerplate`: (line, df) for every trimmed
+    non-empty line appearing in ≥ ``min_df`` DISTINCT documents.
+
+    Pre-aggregated: each batch emits its distinct (line → doc-count) partials
+    (a document never spans batches, so within-batch per-doc dedupe is exact
+    global dedupe), then one small hash shuffle on the line string merges
+    them. Only (line, count) rows move — never document text."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col].combine_chunks(), "")
+        n = len(texts)
+        lines = pc.split_pattern(texts, "\n")
+        llen = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), llen)
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(lines))
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        rows, flat = rows[ne], flat.filter(pa.array(ne))
+        if len(rows) == 0:
+            return pa.table({"line": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        v = len(vocab)
+        uniq = np.unique(rows * v + codes)  # distinct (doc, line)
+        df = np.bincount(uniq % v, minlength=v).astype(np.int64)
+        return pa.table({"line": vocab, "df": pa.array(df)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("line", as_index=False).agg(df=("df", "sum"))
+        return out[out["df"] >= min_df]
+
+    from .blocking import bucketed_apply
+
+    return bucketed_apply(partials, ["line"], merge, num_buckets=num_buckets)
+
+
+def remove_boilerplate(
+    ds: Dataset,
+    min_df: int,
+    text_col: str = "text",
+    num_buckets: int = 16,
+    max_boilerplate_lines: int = 100_000,
+) -> Dataset:
+    """Corpus-global boilerplate-line removal (the C4/CCNet curation pass):
+    any trimmed line occurring in ≥ ``min_df`` distinct documents is deleted
+    from every document; output keeps all input columns with ``text_col``
+    rewritten and an ``n_removed`` count appended.
+
+    Scale shape: phase 1 shuffles only (line, partial-df) rows; the filtered
+    boilerplate set is by construction small (high-df lines) and is broadcast
+    once via ``ray.put`` — guarded by ``max_boilerplate_lines`` (the
+    louvain_communities driver-funnel pattern) so a pathological ``min_df``
+    raises instead of OOMing the driver. ``ds`` is consumed twice (DF scan +
+    rewrite); materialize upstream first if it is an expensive pipeline."""
+    import ray as _ray
+
+    from ..state.worker_cache import cached_get
+
+    flagged = boilerplate_lines(ds, min_df, text_col=text_col, num_buckets=num_buckets)
+    head = flagged.limit(max_boilerplate_lines + 1).take_all()
+    if len(head) > max_boilerplate_lines:
+        raise ValueError(
+            f"remove_boilerplate: > {max_boilerplate_lines} lines at min_df={min_df}; "
+            "raise min_df or max_boilerplate_lines"
+        )
+    bl = sorted(r["line"] for r in head)
+    ref = _ray.put(bl)
+
+    def clean(t: pa.Table, ref=ref, text_col=text_col) -> pa.Table:
+        vs = pa.array(cached_get(ref), type=pa.string())
+        texts = pc.fill_null(t[text_col].combine_chunks(), "")
+        n = len(texts)
+        lines = pc.split_pattern(texts, "\n")
+        llen = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), llen)
+        flat_raw = pc.list_flatten(lines)
+        hit = pc.is_in(pc.utf8_trim_whitespace(flat_raw), value_set=vs).to_numpy(
+            zero_copy_only=False
+        )
+        kept_flat = flat_raw.filter(pa.array(~hit))
+        kept_per_row = np.bincount(rows[~hit], minlength=n).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_flat)
+        cleaned = pc.fill_null(pc.binary_join(lst, "\n"), "")
+        out = t.set_column(t.schema.get_field_index(text_col), text_col, cleaned)
+        return out.append_column("n_removed", pa.array(llen - kept_per_row))
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)

@@ -153,6 +153,114 @@ def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# repetition / Gopher-style quality filter
+# ---------------------------------------------------------------------------
+def _group_codes(rows: np.ndarray, arr: pa.Array):
+    """Factorize ``arr`` and return (combined row×code keys, vocab size) so
+    per-(doc, value) counting is one np.unique over int64 keys."""
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = int(codes.max()) + 1 if len(codes) else 1
+    return rows * v + codes, v
+
+
+def repetition_features(
+    batch: pa.Table,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_word_frac: float = 0.2,
+    min_words: int = 5,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> pa.Table:
+    """Gopher-style repetition/quality signals per document (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters), fully vectorized and
+    SQL-replicable for the oracle:
+
+      n_lines             non-empty lines (split on \\n, trimmed)
+      dup_line_frac       1 - distinct/total over those lines
+      dup_line_char_frac  chars in repeat occurrences / chars in all lines
+      top_word_frac       most frequent (lowercased) word / total words
+      mean_word_len       mean character length of whitespace words
+      keep                1 iff every signal is inside its Gopher bound
+
+    Doc-local → embarrassingly parallel: one map_batches, no shuffle."""
+    n = batch.num_rows
+    texts = pc.fill_null(batch[text_col].combine_chunks(), "")
+
+    # ---- line stats: explode once, count per (doc, line) via np.unique ----
+    lines = pc.split_pattern(texts, "\n")
+    llen = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), llen)
+    flat = pc.utf8_trim_whitespace(pc.list_flatten(lines))
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    rows_ne, flat_ne = rows[ne], flat.filter(pa.array(ne))
+    line_chars = pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = np.bincount(rows_ne, minlength=n).astype(np.int64)
+    if len(rows_ne):
+        key, v = _group_codes(rows_ne, flat_ne)
+        uniq, first_idx, cnt = np.unique(key, return_index=True, return_counts=True)
+        doc_u = uniq // v
+        n_distinct = np.bincount(doc_u, minlength=n).astype(np.int64)
+        dup_chars = np.bincount(doc_u, weights=line_chars[first_idx] * (cnt - 1), minlength=n)
+        tot_chars = np.bincount(rows_ne, weights=line_chars, minlength=n)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        dup_chars = tot_chars = np.zeros(n, dtype=np.float64)
+    dup_line_frac = (n_lines - n_distinct) / np.maximum(n_lines, 1)
+    dup_line_char_frac = dup_chars / np.maximum(tot_chars, 1)
+
+    # ---- word stats: whitespace split of the trimmed text, lowercased -----
+    trimmed = pc.utf8_trim_whitespace(texts)
+    words = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    wlen = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    wrows = np.repeat(np.arange(n, dtype=np.int64), wlen)
+    wflat = pc.utf8_lower(pc.list_flatten(words))
+    wne = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)  # trimmed=='' → ['']
+    wrows, wflat = wrows[wne], wflat.filter(pa.array(wne))
+    n_words = np.bincount(wrows, minlength=n).astype(np.int64)
+    top_cnt = np.zeros(n, dtype=np.int64)
+    if len(wrows):
+        wkey, wv = _group_codes(wrows, wflat)
+        wuniq, wcnt = np.unique(wkey, return_counts=True)
+        np.maximum.at(top_cnt, wuniq // wv, wcnt)
+    wchars = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_wlen = np.bincount(wrows, weights=wchars, minlength=n)
+    top_word_frac = top_cnt / np.maximum(n_words, 1)
+    mean_word_len = sum_wlen / np.maximum(n_words, 1)
+
+    keep = (
+        (dup_line_frac <= max_dup_line_frac)
+        & (dup_line_char_frac <= max_dup_line_char_frac)
+        & (top_word_frac <= max_top_word_frac)
+        & (n_words >= min_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+    )
+    return (
+        batch.append_column("n_lines", pa.array(n_lines))
+        .append_column("dup_line_frac", pa.array(np.round(dup_line_frac, 6)))
+        .append_column("dup_line_char_frac", pa.array(np.round(dup_line_char_frac, 6)))
+        .append_column("top_word_frac", pa.array(np.round(top_word_frac, 6)))
+        .append_column("mean_word_len", pa.array(np.round(mean_word_len, 6)))
+        .append_column("keep", pa.array(keep.astype(np.int64)))
+    )
+
+
+def repetition_filter(ds: Dataset, text_col: str = "text", **bounds) -> Dataset:
+    """Attach Gopher repetition signals + keep flag (no rows dropped — the
+    caller filters on ``keep`` so the dropped side stays inspectable)."""
+    return ds.map_batches(
+        lambda t, c=text_col, b=bounds: repetition_features(t, c, **b),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # token counting (whitespace + BPE-ish subword estimate)
 # ---------------------------------------------------------------------------
 _BPE_RE = re.compile(r"\w+|[^\w\s]")

@@ -46,3 +46,35 @@ def test_group_rollup(ray_session):
     assert out.loc["en", "n_docs"] == 4
     assert out.loc["en", "total_ws_tokens"] == 2 + 2 + 3 + 2
     assert out.loc["de", "total_chars"] == 1
+
+
+def test_remove_boilerplate_drops_frequent_lines(ray_session):
+    from entity_resolution__ray.stages.curation import boilerplate_lines, remove_boilerplate
+
+    rows = []
+    for i in range(12):
+        body = f"unique body {i}"
+        rows.append({"doc_id": i, "text": f"subscribe now\n{body}\n  subscribe now  "
+                     if i % 2 == 0 else f"subscribe now\n{body}\n\nfooter {i}"})
+    ds = rd.from_items(rows)
+
+    # DF is over DISTINCT docs: 'subscribe now' appears in all 12 docs (twice
+    # in even docs — still df=12); empty + unique lines never flagged
+    bl = boilerplate_lines(ds, min_df=10).to_pandas()
+    assert list(bl["line"]) == ["subscribe now"] and int(bl["df"].iloc[0]) == 12
+
+    out = remove_boilerplate(ds, min_df=10).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "text"] == "unique body 0"      # both copies removed (trim-matched)
+    assert out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "text"] == "unique body 1\n\nfooter 1"  # empty line + footer kept
+    assert out.loc[1, "n_removed"] == 1
+
+
+def test_remove_boilerplate_guard_raises(ray_session):
+    import pytest as _pytest
+
+    from entity_resolution__ray.stages.curation import remove_boilerplate
+
+    ds = rd.from_items([{"doc_id": i, "text": "shared line\nmore"} for i in range(4)])
+    with _pytest.raises(ValueError):
+        remove_boilerplate(ds, min_df=2, max_boilerplate_lines=1).to_pandas()

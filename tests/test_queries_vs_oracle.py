@@ -84,6 +84,8 @@ SQL_CHECKED = [
     "lang_id",
     "cur_decontaminate",
     "cur_redact_pii",
+    "cur_quality_gopher",
+    "cur_remove_boilerplate",
 ]
 
 

@@ -68,3 +68,35 @@ def test_fingerprints(ray_session):
     # rolling hash is order-sensitive
     assert out.loc[out["text"] == "abc def", "rolling_fp"].nunique() == 1
     assert roll_by_text["abc def"] != roll_by_text["def abc"]
+
+
+def test_repetition_features_values():
+    from entity_resolution__ray.stages.text_analysis import repetition_features
+
+    t = pa.table({"text": pa.array([
+        "aaa bbb\naaa bbb\nccc",          # dup line: 2/3 lines dup, chars 7 extra
+        "one two three four five six",    # clean → keep
+        "spam spam spam spam spam",       # top_word_frac = 1.0 → drop
+        "",                                # empty → drop (n_words=0)
+        None,
+    ])})
+    out = repetition_features(t).to_pydict()
+    assert out["n_lines"] == [3, 1, 1, 0, 0]
+    # doc 0: distinct 2 of 3 → dup_line_frac 1/3; dup chars 7 of 17
+    assert abs(out["dup_line_frac"][0] - round(1 / 3, 6)) < 1e-9
+    assert abs(out["dup_line_char_frac"][0] - round(7 / 17, 6)) < 1e-9
+    assert out["keep"][1] == 1
+    assert out["top_word_frac"][2] == 1.0 and out["keep"][2] == 0
+    assert out["keep"][3] == 0 and out["keep"][4] == 0
+    # mean word len doc 1: (3+3+5+4+4+3)/6
+    assert abs(out["mean_word_len"][1] - round(22 / 6, 6)) < 1e-9
+
+
+def test_repetition_filter_stage(ray_session):
+    from entity_resolution__ray.stages.text_analysis import repetition_filter
+
+    ds = rd.from_items([{"text": "good clean sentence with words"},
+                        {"text": "dup\ndup\ndup\ndup"}])
+    out = repetition_filter(ds).to_pandas().set_index("text", drop=False)
+    assert out.loc["good clean sentence with words", "keep"] == 1
+    assert out.loc["dup\ndup\ndup\ndup", "keep"] == 0
