@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed aggregate over the events stream table ---------------
         "w1_tumbling_window": _q_tumbling_window,
         "w2_session_window": _q_session_window,
+        "w3_asof_join": _q_asof_join,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -521,6 +522,34 @@ def _q_session_window(sf_dir: str):
 
     ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     return session_windows(ev, gap_us=1_800_000_000)
+
+
+def _q_asof_join(sf_dir: str):
+    """Temporal as-of join: every purchase matched to the user's most recent
+    view at-or-before it (stages/windows.asof_join_prior — one hash shuffle
+    on user_id, pd.merge_asof galloping merge per bucket). Unmatched rows are
+    filled with -1 sentinels HERE (not in the operator) so the hash compare
+    never sees nullable-int NaN semantics; the oracle coalesces identically."""
+    from entity_resolution__ray.stages.windows import asof_join_prior
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = asof_join_prior(ev, left_type="purchase", right_type="view")
+
+    def sentinel(t: pa.Table) -> pa.Table:
+        for c in ("prior_event_id", "prior_ts_us"):
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pc.fill_null(pc.cast(t[c], pa.int64()), -1),
+            )
+        t = t.set_column(
+            t.schema.get_field_index("prior_value"), "prior_value",
+            pc.fill_null(t["prior_value"], -1.0),
+        )
+        # the pandas bucket kernel leaves pandas-dtype metadata ("Int64") on
+        # the block schema; strip it so to_pandas yields plain numpy dtypes
+        return t.replace_schema_metadata(None)
+
+    return out.map_batches(sentinel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -981,6 +1010,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "w3_asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+              FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                   coalesce(r.event_id, -1) AS prior_event_id,
+                   coalesce(r.ts_us, -1) AS prior_ts_us,
+                   coalesce(r.value, -1.0) AS prior_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -7,6 +7,12 @@ keys, so ONE hash shuffle on the key co-locates everything a session needs,
 and the per-key work (sort by time, gap cumsum) is vectorized pandas inside
 each bucket. Event-time ties are ordered by ``order_col`` so session
 numbering is deterministic and matches the SQL gaps-and-islands oracle.
+
+As-of join: each left-type event matched to the most recent right-type event
+at-or-before it for the same key — the temporal-join operator Ray Data has no
+primitive for. Same partitioning assumption (matches never span keys → one
+hash shuffle), and the per-bucket kernel is ``pd.merge_asof`` (a vectorized
+galloping merge), not a per-event loop.
 """
 
 from __future__ import annotations
@@ -63,6 +69,76 @@ def session_windows(
         out["session_id"] = out.groupby(key_col, sort=False).cumcount() + 1
         return out[[key_col, "session_id", "session_start_us", "session_end_us",
                     "n_events", "sum_value"]]
+
+    def to_us(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("ts_us", pc.cast(t[ts_col], pa.int64())).drop_columns([ts_col])
+
+    prepared = events.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_apply(prepared, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def asof_join_prior(
+    events: Dataset,
+    left_type: str,
+    right_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> Dataset:
+    """For every ``left_type`` event, the most recent ``right_type`` event of
+    the same key with ts ≤ the left ts (backward as-of, exact matches
+    allowed). Output: (id, key, ts_us, value, prior_event_id, prior_ts_us,
+    prior_value) with nulls where no prior event exists.
+
+    One hash shuffle on ``key_col`` co-locates each key's history; inside a
+    bucket ``pd.merge_asof(by=key)`` does the whole match as one galloping
+    merge over the bucket's time-sorted rows. Skew note: a key's history must
+    fit one bucket task — for planet-hot keys (one user = millions of events)
+    pre-split by time range and stitch the boundary, as session_windows would.
+    """
+    from .blocking import bucketed_apply
+
+    out_cols = [id_col, key_col, "ts_us", value_col,
+                "prior_event_id", "prior_ts_us", "prior_value"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[type_col] == left_type]
+        right = g[g[type_col] == right_type]
+        if len(left) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                key_col: pd.Series(dtype=np.int64),
+                "ts_us": pd.Series(dtype=np.int64),
+                value_col: pd.Series(dtype=np.float64),
+                "prior_event_id": pd.Series(dtype="Int64"),
+                "prior_ts_us": pd.Series(dtype="Int64"),
+                "prior_value": pd.Series(dtype=np.float64),
+            })
+        left = left.sort_values("ts_us", kind="mergesort")
+        right = right.sort_values("ts_us", kind="mergesort")[
+            [key_col, "ts_us", id_col, value_col]
+        ].rename(columns={
+            id_col: "prior_event_id", "ts_us": "prior_ts_us", value_col: "prior_value",
+        })
+        out = pd.merge_asof(
+            left[[id_col, key_col, "ts_us", value_col]],
+            right,
+            left_on="ts_us",
+            right_on="prior_ts_us",
+            by=key_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        # unmatched rows make these float64 (NaN) in some buckets and int64
+        # in fully-matched ones — pin nullable Int64 so block schemas agree
+        out["prior_event_id"] = out["prior_event_id"].astype("Int64")
+        out["prior_ts_us"] = out["prior_ts_us"].astype("Int64")
+        return out[out_cols]
 
     def to_us(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -86,6 +86,7 @@ SQL_CHECKED = [
     "cur_redact_pii",
     "cur_quality_gopher",
     "cur_remove_boilerplate",
+    "w3_asof_join",
 ]
 
 

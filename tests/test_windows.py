@@ -1,6 +1,7 @@
 """Session-window operator: per-key gap-based sessionization."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -40,3 +41,39 @@ def test_session_windows_tie_determinism(ray_session):
     rows = [(i, 7, 10, 1.0) for i in range(5)]
     out = session_windows(_events(rows)).to_pandas()
     assert len(out) == 1 and out.loc[0, "n_events"] == 5
+
+
+def test_asof_join_prior(ray_session):
+    from entity_resolution__ray.stages.windows import asof_join_prior
+
+    rows = [
+        # user 1: views at t=10, t=30; purchases at t=5 (no prior), t=20
+        # (matches view@10), t=30 (exact match allowed → view@30)
+        {"event_id": 1, "user_id": 1, "ts": 10, "event_type": "view", "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": 30, "event_type": "view", "value": 2.0},
+        {"event_id": 3, "user_id": 1, "ts": 5, "event_type": "purchase", "value": 9.0},
+        {"event_id": 4, "user_id": 1, "ts": 20, "event_type": "purchase", "value": 8.0},
+        {"event_id": 5, "user_id": 1, "ts": 30, "event_type": "purchase", "value": 7.0},
+        # user 2's view must never match user 1's purchases
+        {"event_id": 6, "user_id": 2, "ts": 1, "event_type": "view", "value": 5.0},
+        {"event_id": 7, "user_id": 2, "ts": 9, "event_type": "purchase", "value": 4.0},
+    ]
+    import pyarrow as pa
+
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.timestamp("us")),
+        "event_type": [r["event_type"] for r in rows],
+        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
+    })
+    out = (
+        asof_join_prior(rd.from_arrow(t), left_type="purchase", right_type="view")
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    assert len(out) == 4
+    assert pd.isna(out.loc[3, "prior_event_id"])         # before any view
+    assert out.loc[4, "prior_event_id"] == 1             # backward match
+    assert out.loc[5, "prior_event_id"] == 2             # exact-ts match allowed
+    assert out.loc[7, "prior_event_id"] == 6             # per-key isolation
+    assert out.loc[7, "prior_value"] == 5.0
