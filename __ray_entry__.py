@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f_pair_sims": _q_pair_sims,
         # --- sorts / top-k (O1/O3) -----------------------------------------
         "o1_topk_docs": _q_topk_docs,
+        "o2_topk_per_lang": _q_topk_per_lang,
+        # --- exact distributed quantiles (histogram pre-aggregate) ---------
+        "a5_quantiles_by_lang": _q_quantiles_by_lang,
         # --- connected components + cluster sizes (C4/C7/A5/O3) ------------
         "c4_connected_components": _q_connected_components,
         # --- windowed aggregate over the events stream table ---------------
@@ -522,6 +525,24 @@ def _q_session_window(sf_dir: str):
 
     ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     return session_windows(ev, gap_us=1_800_000_000)
+
+
+def _q_topk_per_lang(sf_dir: str):
+    """Grouped top-k (the row_number window pattern): 3 longest docs per
+    language, ties broken by lowest doc_id."""
+    from entity_resolution__ray.stages.curation import grouped_topk
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(docs, key_col="lang", sort_col="n_chars", k=3)
+
+
+def _q_quantiles_by_lang(sf_dir: str):
+    """Exact per-language length quantiles via the histogram pre-aggregate
+    (stages/curation.grouped_quantiles) — quantile_disc parity."""
+    from entity_resolution__ray.stages.curation import grouped_quantiles
+
+    docs = _docs(sf_dir, columns=["lang", "n_chars"])
+    return grouped_quantiles(docs, key_col="lang", value_col="n_chars")
 
 
 def _q_asof_join(sf_dir: str):
@@ -1010,6 +1031,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "o2_topk_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+            ) <= 3
+        """,
+        "a5_quantiles_by_lang": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75,
+                   quantile_disc(n_chars, 0.90) AS q90,
+                   quantile_disc(n_chars, 0.99) AS q99
+            FROM documents GROUP BY lang
         """,
         "w3_asof_join": """
             WITH l AS (

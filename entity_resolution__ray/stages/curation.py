@@ -11,6 +11,11 @@
   * group_rollup — per-key corpus statistics (docs, chars, whitespace
     tokens) as a pre-aggregated shuffle: partial sums inside map_batches,
     one tiny groupby at the end — no all-to-all on the raw rows.
+  * grouped_topk — top-k rows per key (the row_number window pattern) as one
+    hash shuffle + per-bucket vectorized head.
+  * grouped_quantiles — EXACT per-key discrete quantiles via (key, value,
+    count) histogram pre-aggregation: exchange volume bounded by the value
+    domain, never by row count.
   * remove_boilerplate — corpus-global frequent-line removal (the C4/CCNet
     boilerplate pass): line → distinct-doc-frequency via a pre-aggregated
     hash shuffle, lines above ``min_df`` broadcast once with ``ray.put``,
@@ -124,6 +129,76 @@ def group_rollup(
     from .blocking import bucketed_apply
 
     return bucketed_apply(partials, [key_col], merge, num_buckets=16)
+
+
+def grouped_topk(
+    ds: Dataset,
+    key_col: str,
+    sort_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Top-``k`` rows per key by ``sort_col`` DESC (ties → lowest ``id_col``)
+    — the window-function `row_number() OVER (PARTITION BY ...)` pattern as
+    one hash shuffle + a vectorized per-bucket head."""
+    from .blocking import bucketed_apply
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, sort_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k)
+
+    return bucketed_apply(ds, [key_col], pick, num_buckets=num_buckets)
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    num_buckets: int = 16,
+) -> Dataset:
+    """EXACT per-key discrete quantiles of an integer column without ever
+    shuffling raw rows: each batch pre-aggregates a (key, value, count)
+    histogram, histograms merge in one small hash shuffle, and the quantile
+    is read off the cumulative counts — quantile_disc semantics (value at
+    1-based rank ceil(q·n) of the sorted multiset), verified against DuckDB.
+
+    The exchange volume is bounded by (#keys × #distinct values), not row
+    count — the right shape for a 100 TB corpus whose value domain is small
+    (lengths, scores, counts)."""
+    from .blocking import bucketed_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False),
+            "v": t[value_col].to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby(["k", "v"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pa.table({
+            key_col: pa.array(agg["k"]),
+            value_col: pa.array(agg["v"]),
+            "cnt": pa.array(agg["cnt"].to_numpy(dtype=np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key_col, value_col], as_index=False).agg(cnt=("cnt", "sum"))
+        g = g.sort_values([key_col, value_col], kind="mergesort")
+        g["cum"] = g.groupby(key_col, sort=False)["cnt"].cumsum()
+        n = g.groupby(key_col, sort=False)["cnt"].transform("sum")
+        out = g[[key_col]].drop_duplicates().reset_index(drop=True)
+        for q, name in zip(qs, qcols):
+            rank = np.ceil(q * n.to_numpy()).astype(np.int64)
+            hit = g[g["cum"].to_numpy() >= rank]
+            out[name] = hit.groupby(key_col, sort=False)[value_col].first().reindex(
+                out[key_col]).to_numpy()
+        return out
+
+    return bucketed_apply(partials, [key_col], per_key, num_buckets=num_buckets)
 
 
 def boilerplate_lines(

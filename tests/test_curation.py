@@ -78,3 +78,38 @@ def test_remove_boilerplate_guard_raises(ray_session):
     ds = rd.from_items([{"doc_id": i, "text": "shared line\nmore"} for i in range(4)])
     with _pytest.raises(ValueError):
         remove_boilerplate(ds, min_df=2, max_boilerplate_lines=1).to_pandas()
+
+
+def test_grouped_topk(ray_session):
+    from entity_resolution__ray.stages.curation import grouped_topk
+
+    out = grouped_topk(_docs(), key_col="lang", sort_col="n_chars", k=2).to_pandas()
+    en = out[out["lang"] == "en"].sort_values("n_chars", ascending=False)
+    assert list(en["doc_id"]) == [3, 1]  # 16 chars, then tie(10,10,10)→lowest id
+    de = out[out["lang"] == "de"]
+    assert sorted(de["doc_id"]) == [4, 5]  # whole stratum when smaller than k
+
+
+def test_grouped_quantiles_matches_quantile_disc(ray_session):
+    import duckdb
+
+    from entity_resolution__ray.stages.curation import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    ks = rng.choice(["a", "b", "c"], size=400).tolist()
+    vs = rng.integers(0, 50, size=400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": ks, "v": vs}))
+    got = (
+        grouped_quantiles(ds, key_col="k", value_col="v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    import pandas as _pd
+
+    df = _pd.DataFrame({"k": ks, "v": vs})  # noqa: F841 (duckdb view)
+    want = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.25) q25, quantile_disc(v, 0.50) q50,"
+        " quantile_disc(v, 0.75) q75, quantile_disc(v, 0.90) q90,"
+        " quantile_disc(v, 0.99) q99 FROM df GROUP BY k ORDER BY k"
+    ).df()
+    for c in ["q25", "q50", "q75", "q90", "q99"]:
+        assert list(got[c].astype(int)) == list(want[c].astype(int)), c

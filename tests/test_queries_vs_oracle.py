@@ -87,6 +87,8 @@ SQL_CHECKED = [
     "cur_quality_gopher",
     "cur_remove_boilerplate",
     "w3_asof_join",
+    "o2_topk_per_lang",
+    "a5_quantiles_by_lang",
 ]
 
 
