@@ -137,11 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_tumbling_window": _q_tumbling_window,
         "w2_session_window": _q_session_window,
         "w3_asof_join": _q_asof_join,
+        "w4_hopping_window": _q_hopping_window,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # --- exact set-similarity self-join (prefix filter, PPJoin-style) --
+        "sj_bigram_join": _q_set_similarity_join,
         # embedding near-dup has no queries() entry ON PURPOSE: hyperplane-LSH
         # recall is probabilistic (no exact SQL oracle can exist) AND the
         # synthetic embeddings tables contain zero pairs above any near-dup
@@ -571,6 +574,29 @@ def _q_asof_join(sf_dir: str):
         return t.replace_schema_metadata(None)
 
     return out.map_batches(sentinel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 5-minute windows every 60s per
+    event_type (stages/windows.hopping_windows — per-batch k-fold window
+    replication collapsed by a partial aggregate BEFORE the shuffle)."""
+    from entity_resolution__ray.stages.windows import hopping_windows
+
+    ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return hopping_windows(ev, size_s=300, hop_s=60)
+
+
+def _q_set_similarity_join(sf_dir: str):
+    """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
+    (stages/setsim.set_similarity_join): prefix-filter candidates (complete
+    by the prefix theorem — no LSH recall caveat) verified against the
+    broadcast pre-hashed gram store. The oracle is the brute-force
+    explode-join-group in SQL; at this threshold the join recovers exactly
+    the corpus's planted near-duplicate pairs."""
+    from entity_resolution__ray.stages.setsim import set_similarity_join
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return set_similarity_join(docs, threshold=0.4, shingle="word2")
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1031,6 +1057,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "w4_hopping_window": """
+            -- 300s windows hopping every 60s: event at ts lands in the 5
+            -- window starts (ts_s // 60 - i) * 60, i in 0..4
+            WITH e AS (
+              SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events
+            )
+            SELECT event_type, ((ts_s // 60) - CAST(i AS BIGINT)) * 60 AS window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM e, range(0, 5) r(i)
+            GROUP BY 1, 2
+        """,
+        "sj_bigram_join": """
+            -- brute-force word-bigram-set Jaccard self-join (threshold 0.4);
+            -- single-word docs fall back to the word itself as their one
+            -- shingle (dedup.shingle_hashes_batch word2 semantics)
+            WITH w AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), tok AS (
+              SELECT DISTINCT id,
+                     CASE WHEN len(ws) < 2 THEN ws[CAST(i AS INT)]
+                          ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] END AS w
+              FROM w, range(1, 512) r(i)
+              WHERE i <= CASE WHEN len(ws) < 2 THEN len(ws) ELSE len(ws) - 1 END
+            ), sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_left, b.id AS id_right, count(*) AS i
+              FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2
+            )
+            SELECT id_left, id_right,
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.id = inter.id_left
+            JOIN sz sb ON sb.id = inter.id_right
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
         """,
         "o2_topk_per_lang": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -79,6 +79,75 @@ def session_windows(
     return bucketed_apply(prepared, [key_col], per_bucket, num_buckets=num_buckets)
 
 
+def hopping_windows(
+    events: Dataset,
+    size_s: int = 300,
+    hop_s: int = 60,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_buckets: int = 32,
+) -> Dataset:
+    """Hopping (sliding) window aggregate: fixed ``size_s``-second windows
+    advancing every ``hop_s`` seconds (``size_s`` must be a multiple of
+    ``hop_s``), so each event lands in ``k = size_s // hop_s`` overlapping
+    windows. Output: (key, window_start, n_events, sum_value) — the third
+    window flavour next to tumbling (w1 query) and session windows.
+
+    Scale shape: the k-fold window replication happens INSIDE each map batch
+    as a numpy repeat and is immediately collapsed by a per-batch partial
+    aggregate over (key, window_start) — the shuffle moves pre-combined
+    partial rows (bounded by distinct key×window per batch), never k× the
+    event stream. One bucketed shuffle then sums partials. Sums run in
+    integer cents (value is 2-decimal) for float-stable oracle parity, as in
+    session_windows."""
+    if size_s % hop_s != 0:
+        raise ValueError(f"size_s ({size_s}) must be a multiple of hop_s ({hop_s})")
+    k = size_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        key_arr = t[key_col]
+        if n == 0:
+            return pa.table({
+                key_col: key_arr,
+                "window_start": pa.array([], type=pa.int64()),
+                "__n": pa.array([], type=pa.int64()),
+                "__cents": pa.array([], type=pa.int64()),
+            })
+        ts_s = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000).to_numpy()
+        base = (ts_s // hop_s) * hop_s
+        # event at ts is inside window w iff w <= ts < w + size_s: exactly
+        # the k starts base - i*hop for i in 0..k-1 (size_s = k*hop_s)
+        win = (base[:, None] - np.arange(k, dtype=np.int64) * hop_s).ravel()
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        cents = np.rint(t[value_col].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        exploded = pa.table({
+            key_col: pc.take(key_arr, pa.array(idx)),
+            "window_start": pa.array(win, type=pa.int64()),
+            "__cents": pa.array(cents[idx], type=pa.int64()),
+        })
+        out = exploded.group_by([key_col, "window_start"]).aggregate(
+            [("__cents", "count"), ("__cents", "sum")]
+        )
+        return out.rename_columns([key_col, "window_start", "__n", "__cents"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key_col, "window_start"], as_index=False).agg(
+            __n=("__n", "sum"), __cents=("__cents", "sum")
+        )
+        out["n_events"] = out["__n"].astype("int64")
+        out["sum_value"] = (out["__cents"] / 100.0).round(4)
+        return out[[key_col, "window_start", "n_events", "sum_value"]]
+
+    from .blocking import bucketed_apply
+
+    partials = events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_apply(partials, [key_col, "window_start"], final, num_buckets=num_buckets)
+
+
 def asof_join_prior(
     events: Dataset,
     left_type: str,

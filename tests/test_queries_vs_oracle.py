@@ -89,6 +89,8 @@ SQL_CHECKED = [
     "w3_asof_join",
     "o2_topk_per_lang",
     "a5_quantiles_by_lang",
+    "w4_hopping_window",
+    "sj_bigram_join",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Exact set-similarity self-join (stages/setsim): prefix-filter
+completeness against a brute-force reference, plus the prefix-length bound."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from entity_resolution__ray.stages.setsim import prefix_lengths, set_similarity_join
+
+
+def _brute_force(texts, threshold, shingle="word2"):
+    """Reference Jaccard over word-bigram sets (single-word fallback)."""
+    def grams(t):
+        ws = t.split()
+        if not ws:
+            return frozenset()
+        if len(ws) < 2:
+            return frozenset(ws)
+        return frozenset(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+
+    sets = [grams(t) for t in texts]
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+def _docs_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_prefix_lengths_bound():
+    n = np.array([0, 1, 2, 5, 10, 100])
+    p = prefix_lengths(n, 0.4)
+    # p = n - ceil(0.4 n) + 1, floored at 1 for non-empty, 0 for empty
+    assert p.tolist() == [0, 1, 2, 4, 7, 61]
+    # threshold 1.0 → prefix of exactly 1 token (identical sets must share
+    # their first token)
+    assert prefix_lengths(n, 1.0).tolist() == [0, 1, 1, 1, 1, 1]
+
+
+def test_set_similarity_join_matches_brute_force(ray_session):
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 15))) for _ in range(60)]
+    # plant near-duplicates: copies with one word changed
+    for i in range(0, 20, 4):
+        ws = texts[i].split()
+        ws[len(ws) // 2] = "zz"
+        texts.append(" ".join(ws))
+    want = _brute_force(texts, 0.4)
+
+    out = set_similarity_join(_docs_ds(texts), threshold=0.4).to_pandas()
+    got = {(int(r.id_left), int(r.id_right)): float(r.jaccard) for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-4
+    assert len(want) > 0  # the planted dups actually qualify
+
+
+def test_set_similarity_join_degenerate_rows(ray_session):
+    # empty, whitespace-only, and single-word docs must not crash or pair up
+    texts = ["", "   ", "hello", "hello", "a b c d", "a b c d"]
+    out = set_similarity_join(_docs_ds(texts), threshold=0.5).to_pandas()
+    got = {(int(r.id_left), int(r.id_right)) for r in out.itertuples()}
+    # identical single-word docs share their 1-token shingle set (jaccard 1)
+    assert (2, 3) in got and (4, 5) in got
+    # empty-ish docs emit no prefix keys and never appear
+    assert all(l not in (0, 1) and r not in (0, 1) for l, r in got)

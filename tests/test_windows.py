@@ -43,6 +43,46 @@ def test_session_windows_tie_determinism(ray_session):
     assert len(out) == 1 and out.loc[0, "n_events"] == 5
 
 
+def test_hopping_windows_membership_and_sums(ray_session):
+    from entity_resolution__ray.stages.windows import hopping_windows
+
+    # one event at t=125s with size=300/hop=60 → windows -120, -60, 0, 60, 120
+    rows = [(0, 1, 125, 1.5)]
+    ev = _events(rows).map_batches(
+        lambda t: t.rename_columns(["event_id", "event_type", "ts", "value"]),
+        batch_format="pyarrow",
+    )
+    out = hopping_windows(ev, size_s=300, hop_s=60, key_col="event_type").to_pandas()
+    assert sorted(out["window_start"].tolist()) == [-120, -60, 0, 60, 120]
+    assert (out["n_events"] == 1).all() and (out["sum_value"] == 1.5).all()
+
+
+def test_hopping_windows_partial_aggregate_merges(ray_session):
+    from entity_resolution__ray.stages.windows import hopping_windows
+
+    # two events in the same hop slot + one in the next; window 60 must see
+    # all three (overlap), window 120 only the later one
+    rows = [(0, 1, 125, 1.0), (1, 1, 130, 2.0), (2, 1, 185, 4.0)]
+    ev = _events(rows).map_batches(
+        lambda t: t.rename_columns(["event_id", "event_type", "ts", "value"]),
+        batch_format="pyarrow",
+    )
+    out = hopping_windows(ev, size_s=120, hop_s=60, key_col="event_type").to_pandas()
+    w = out.set_index("window_start")
+    assert w.loc[60, "n_events"] == 2 and w.loc[60, "sum_value"] == 3.0   # [60,180)
+    assert w.loc[120, "n_events"] == 3 and w.loc[120, "sum_value"] == 7.0  # [120,240)
+    assert w.loc[180, "n_events"] == 1 and w.loc[180, "sum_value"] == 4.0  # [180,300)
+
+
+def test_hopping_windows_size_must_divide(ray_session):
+    import pytest
+
+    from entity_resolution__ray.stages.windows import hopping_windows
+
+    with pytest.raises(ValueError):
+        hopping_windows(_events([]), size_s=100, hop_s=60)
+
+
 def test_asof_join_prior(ray_session):
     from entity_resolution__ray.stages.windows import asof_join_prior
 
