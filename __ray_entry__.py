@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_revenue_by_nation": _q_revenue_by_nation,
         # --- grouped aggregates (A2/A5-like) -------------------------------
         "a2_orders_by_customer": _q_orders_by_customer,
+        "a6_distinct_users_by_type": _q_distinct_users_by_type,
+        # --- distributed anti-join (J4 at scale) ----------------------------
+        "j4_customers_no_urgent_order": _q_customers_no_urgent_order,
         # --- canonical pairs + candidate generation (M10/J2) ---------------
         "j2_block_candidates": _q_block_candidates,
         # --- pairwise features (F1/F4) -------------------------------------
@@ -574,6 +577,34 @@ def _q_asof_join(sf_dir: str):
         return t.replace_schema_metadata(None)
 
     return out.map_batches(sentinel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type via the two-level
+    pre-aggregated shuffle (stages/curation.grouped_distinct_count — batch
+    combiner → (key,val) shuffle → partial sums; no sketch, no driver
+    collect)."""
+    from entity_resolution__ray.stages.curation import grouped_distinct_count
+
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, key_col="event_type", val_col="user_id",
+                                  out_col="n_users")
+
+
+def _q_customers_no_urgent_order(sf_dir: str):
+    """Customers who never placed a 1-URGENT order: distributed anti-join
+    (stages/joins.distributed_anti_join — the beyond-broadcast J4: right
+    keys are batch-deduped and hash-shuffled, one vectorized is_in per
+    bucket, never collected to the driver)."""
+    from entity_resolution__ray.stages.joins import distributed_anti_join
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = _t(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return distributed_anti_join(cust, urgent, on=["c_custkey"])
 
 
 def _q_hopping_window(sf_dir: str):
@@ -1057,6 +1088,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "a6_distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "j4_customers_no_urgent_order": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            )
         """,
         "w4_hopping_window": """
             -- 300s windows hopping every 60s: event at ts lands in the 5

@@ -131,6 +131,42 @@ def group_rollup(
     return bucketed_apply(partials, [key_col], merge, num_buckets=16)
 
 
+def grouped_distinct_count(
+    ds: Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Exact COUNT(DISTINCT val) per key, scale-shaped: each batch first
+    collapses to its distinct (key, val) pairs (the combiner — the shuffle
+    moves distinct pairs per block, never raw rows), one hash shuffle on
+    (key, val) co-locates equal pairs so each bucket's per-key distinct
+    count is a disjoint PARTIAL, and a final tiny shuffle on key sums the
+    partials. No sketch, no driver collect — exact at any cardinality."""
+    from .blocking import bucketed_apply
+
+    def partial_pairs(t: pa.Table) -> pa.Table:
+        return t.select([key_col, val_col]).group_by([key_col, val_col]).aggregate([])
+
+    pairs = ds.map_batches(partial_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_count(g: pa.Table) -> pa.Table:
+        # distinct within the bucket, then count per key: disjoint partials
+        # because the shuffle key is the full (key, val) pair
+        d = g.group_by([key_col, val_col]).aggregate([])
+        out = d.group_by([key_col]).aggregate([(val_col, "count")])
+        return out.rename_columns([key_col, out_col])
+
+    partials = bucketed_apply(pairs, [key_col, val_col], bucket_count,
+                              num_buckets=num_buckets, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False).agg(**{out_col: (out_col, "sum")})
+
+    return bucketed_apply(partials, [key_col], merge, num_buckets=16)
+
+
 def grouped_topk(
     ds: Dataset,
     key_col: str,

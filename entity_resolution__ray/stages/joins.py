@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -187,6 +188,64 @@ def broadcast_anti_join(ds: Dataset, keys: set, on: Sequence[str], semi: bool = 
     # small picklable closure → elastic tasks (no pool spin-up); the key set
     # is resolved once per worker via the worker cache
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distributed_anti_join(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    semi: bool = False,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Rows of ``left`` with no (anti) / at least one (semi) key match in
+    ``right`` — the beyond-broadcast counterpart of
+    :func:`broadcast_anti_join`: the right key set is NEVER collected to the
+    driver. Both sides are pre-projected to distinct keys per batch (right)
+    and hash-shuffled ONCE on the key; each bucket filters its left rows with
+    one vectorized ``is_in`` against the bucket-local right keys. Equal keys
+    always co-locate, so the filter is exact at any scale."""
+    cols = list(on)
+    lschema = _arrow_schema(left)
+    ltypes = {c: lschema.field(c).type for c in lschema.names}
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _bucket_column(t, cols, num_partitions))
+        return t.append_column("__side", pa.array([0] * t.num_rows, type=pa.int8()))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        # distinct keys per batch: bounds the shuffled right volume by
+        # distinct keys per block, not right rows
+        t = t.select(cols).group_by(cols).aggregate([])
+        for c in lschema.names:
+            if c not in cols:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
+        t = t.append_column("__bucket", _bucket_column(t, cols, num_partitions))
+        return t.append_column("__side", pa.array([1] * t.num_rows, type=pa.int8()))
+
+    col_order = lschema.names + ["__bucket", "__side"]
+    lt = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True).select_columns(col_order)
+    rt = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True).select_columns(col_order)
+    u = lt.union(rt)
+    out_schema = pa.schema([lschema.field(c) for c in lschema.names])
+
+    def filt(group: pa.Table) -> pa.Table:
+        lg = group.filter(pc.equal(group["__side"], 0))
+        rg = group.filter(pc.equal(group["__side"], 1))
+        if len(cols) == 1:
+            hit = pc.fill_null(
+                pc.is_in(lg[cols[0]], value_set=rg[cols[0]].combine_chunks()), False
+            )
+            mask = hit if semi else pc.invert(hit)
+        else:
+            from ..functions.hashing import hash_columns
+
+            lh = hash_columns(lg, cols)
+            rh = hash_columns(rg, cols)
+            hit = np.isin(lh, rh)
+            mask = pa.array(hit if semi else ~hit)
+        return lg.select(out_schema.names).filter(mask).cast(out_schema)
+
+    return u.groupby("__bucket").map_groups(filt, batch_format="pyarrow")
 
 
 def attach_doc_columns(

@@ -113,3 +113,16 @@ def test_grouped_quantiles_matches_quantile_disc(ray_session):
     ).df()
     for c in ["q25", "q50", "q75", "q90", "q99"]:
         assert list(got[c].astype(int)) == list(want[c].astype(int)), c
+
+
+def test_grouped_distinct_count(ray_session):
+    from entity_resolution__ray.stages.curation import grouped_distinct_count
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2), ("b", 3)]
+    ds = rd.from_arrow(pa.table({
+        "k": [r[0] for r in rows],
+        "v": pa.array([r[1] for r in rows], type=pa.int64()),
+    })).repartition(3)  # distinct values of one key span blocks AND buckets
+    out = grouped_distinct_count(ds, key_col="k", val_col="v").to_pandas()
+    got = dict(zip(out["k"], out["n_distinct"]))
+    assert got == {"a": 2, "b": 3}

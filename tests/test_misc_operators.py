@@ -73,3 +73,32 @@ def test_broadcast_anti_and_semi_join(ray_session):
     assert pruned["id_left"].tolist() == ["c"]
     kept = broadcast_anti_join(ds, {("a", "b")}, on=["id_left", "id_right"], semi=True).to_pandas()
     assert kept["id_left"].tolist() == ["a"]
+
+
+def test_distributed_anti_and_semi_join(ray_session):
+    from entity_resolution__ray.stages.joins import distributed_anti_join
+
+    left = rd.from_items(
+        [{"k": i, "name": f"n{i}"} for i in range(10)], override_num_blocks=2
+    )
+    right = rd.from_items(
+        [{"k": i} for i in [1, 3, 3, 5, 7, 9, 42]], override_num_blocks=2
+    )
+    anti = distributed_anti_join(left, right, on=["k"]).to_pandas()
+    assert sorted(anti["k"].tolist()) == [0, 2, 4, 6, 8]
+    assert set(anti.columns) == {"k", "name"}
+    semi = distributed_anti_join(left, right, on=["k"], semi=True).to_pandas()
+    assert sorted(semi["k"].tolist()) == [1, 3, 5, 7, 9]
+
+
+def test_distributed_anti_join_multikey(ray_session):
+    from entity_resolution__ray.stages.joins import distributed_anti_join
+
+    left = rd.from_items(
+        [{"a": "x", "b": 1, "v": 10}, {"a": "x", "b": 2, "v": 20}, {"a": "y", "b": 1, "v": 30}]
+    )
+    right = rd.from_items([{"a": "x", "b": 1}, {"a": "y", "b": 9}])
+    anti = distributed_anti_join(left, right, on=["a", "b"]).to_pandas()
+    assert sorted(anti["v"].tolist()) == [20, 30]
+    semi = distributed_anti_join(left, right, on=["a", "b"], semi=True).to_pandas()
+    assert semi["v"].tolist() == [10]

@@ -91,6 +91,8 @@ SQL_CHECKED = [
     "a5_quantiles_by_lang",
     "w4_hopping_window",
     "sj_bigram_join",
+    "a6_distinct_users_by_type",
+    "j4_customers_no_urgent_order",
 ]
 
 
