@@ -103,6 +103,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "w1_tumbling_window",
         "text_quality",
         "c4_connected_components",
+        "sj_bigram_join",       # exact prefix-filter set-similarity join (round 4)
+        "w4_hopping_window",    # k-fold window explode + pre-shuffle partial agg (round 4)
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

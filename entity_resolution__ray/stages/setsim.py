@@ -55,8 +55,21 @@ def prefix_lengths(set_sizes: np.ndarray, threshold: float) -> np.ndarray:
     share a token too.
     """
     n = set_sizes.astype(np.int64)
-    p = n - np.ceil(threshold * n).astype(np.int64) + 1
+    # epsilon guards the float ceil in the SAFE direction: IEEE can round
+    # t*n a hair ABOVE the exact rational (e.g. 0.55*100 = 55.000000000000007
+    # → ceil 56, exact 55), which would shorten the prefix below the
+    # completeness bound and silently miss qualifying pairs. Underestimating
+    # α only lengthens prefixes (a few extra candidates, never a miss).
+    p = n - _safe_ceil(threshold * n) + 1
     return np.where(n > 0, np.maximum(p, 1), 0)
+
+
+def _safe_ceil(x: np.ndarray) -> np.ndarray:
+    """ceil that never exceeds the exact rational ceil despite float error
+    (subtract 1e-9 first; exact integers are unaffected since
+    ceil(k - 1e-9) = k). Used everywhere a TOO-LARGE ceil would break the
+    prefix/positional filters' completeness proofs."""
+    return np.ceil(np.asarray(x, dtype=np.float64) - 1e-9).astype(np.int64)
 
 
 class PrefixFilterKeys:
@@ -83,6 +96,8 @@ class PrefixFilterKeys:
         empty = pa.table({
             "band_key": pa.array([], type=pa.int64()),
             "doc_id": pa.array([], type=id_type),
+            "set_size": pa.array([], type=pa.int32()),
+            "ppos": pa.array([], type=pa.int32()),
         })
         if batch.num_rows == 0:
             return empty
@@ -94,19 +109,35 @@ class PrefixFilterKeys:
         starts = np.cumsum(uc) - uc
         pos = np.arange(len(ur), dtype=np.int64) - np.repeat(starts[uc > 0], uc[uc > 0])
         keep = pos < np.repeat(p[uc > 0], uc[uc > 0])
+        # set_size + ppos ride with every prefix row so the bucket emitter can
+        # apply the PPJoin length + positional prunes without a second lookup
         return pa.table({
             "band_key": pa.array(uh[keep].view(np.int64), type=pa.int64()),
             "doc_id": pc.take(id_arr, pa.array(ur[keep])),
+            "set_size": pa.array(np.repeat(uc[uc > 0], uc[uc > 0])[keep].astype(np.int32)),
+            "ppos": pa.array(pos[keep].astype(np.int32)),
         })
 
 
 def _candidates_from_prefix_groups(
-    keys: Dataset, num_buckets: int = 64, warn_group_size: int = 4096
+    keys: Dataset, threshold: float, num_buckets: int = 64, warn_group_size: int = 4096
 ) -> Dataset:
-    """Prefix-token groups → canonical deduped candidate pairs.
+    """Prefix-token groups → canonical deduped candidate pairs, pruned by the
+    PPJoin length + positional filters (both COMPLETE):
 
-    Full triu per group (join semantics need every pair — no star cap);
-    groups above ``warn_group_size`` are emitted anyway but logged as skew."""
+    * length: J(A,B) ≥ t needs |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|),
+      so min < ⌈t·max⌉ cannot qualify — safe to prune at EVERY collision.
+    * positional (suffix bound): at the FIRST common prefix token w (0-indexed
+      position i in A, j in B) the overlap is ≤ 1 + min(|A|-i-1, |B|-j-1);
+      J ≥ t needs overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ (the equivalent-overlap
+      form of Jaccard). Applying the bound uniformly at every collision is
+      still complete: a qualifying pair survives at its first-collision
+      bucket (where the bound is valid), and candidate dedup keeps a pair if
+      ANY bucket emits it — over-pruning at later collisions cannot lose it.
+
+    Full (masked) triu per group — join semantics need every qualifying pair,
+    no star cap; groups above ``warn_group_size`` are emitted anyway but
+    logged as skew."""
     from .blocking import (bucketed_apply, group_bounds,
                            key_sorted_dedup_arrow, triu_pairs_by_size)
 
@@ -117,7 +148,9 @@ def _candidates_from_prefix_groups(
         )
         if g.num_rows == 0:
             return empty
-        kc, ids_np, _, _ = key_sorted_dedup_arrow(g, "band_key", "doc_id")
+        kc, ids_np, take_idx, _ = key_sorted_dedup_arrow(g, "band_key", "doc_id")
+        nsz = g["set_size"].combine_chunks().to_numpy(zero_copy_only=False)[take_idx]
+        ppos = g["ppos"].combine_chunks().to_numpy(zero_copy_only=False)[take_idx]
         starts, sizes = group_bounds(kc, len(kc))
         big = sizes[sizes > warn_group_size]
         if len(big):
@@ -128,6 +161,17 @@ def _candidates_from_prefix_groups(
                 len(big), warn_group_size, int(big.max()),
             )
         il, ir = triu_pairs_by_size(starts, sizes, np.ones(len(starts), dtype=bool))
+        if len(il) == 0:
+            return empty
+        nl = nsz[il].astype(np.int64)
+        nr = nsz[ir].astype(np.int64)
+        mn = np.minimum(nl, nr)
+        mx = np.maximum(nl, nr)
+        keep = mn >= _safe_ceil(threshold * mx)
+        alpha = _safe_ceil(threshold / (1.0 + threshold) * (nl + nr))
+        ubound = 1 + np.minimum(nl - ppos[il] - 1, nr - ppos[ir] - 1)
+        keep &= ubound >= alpha
+        il, ir = il[keep], ir[keep]
         if len(il) == 0:
             return empty
         return pa.table(
@@ -169,7 +213,7 @@ def set_similarity_join(
                              threshold=threshold, shingle=shingle)
     keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow",
                           zero_copy_batch=True)
-    cands = _candidates_from_prefix_groups(keys, num_buckets=num_buckets)
+    cands = _candidates_from_prefix_groups(keys, threshold, num_buckets=num_buckets)
 
     refs = build_gram_set_refs(ds, text_col=text_col, id_col=id_col, shingle=shingle)
     key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{shingle}"

@@ -77,3 +77,35 @@ def test_set_similarity_join_degenerate_rows(ray_session):
     assert (2, 3) in got and (4, 5) in got
     # empty-ish docs emit no prefix keys and never appear
     assert all(l not in (0, 1) and r not in (0, 1) for l, r in got)
+
+
+def test_prefix_lengths_float_ceil_safe():
+    # IEEE hazard: 0.55*100 rounds to 55.000000000000007 → naive ceil gives
+    # 56, shortening the prefix below the completeness bound. The exact
+    # rational ceil(55/100*100) is 55, so p must be 100-55+1 = 46.
+    p = prefix_lengths(np.array([100]), 0.55)
+    assert p.tolist() == [46]
+    p = prefix_lengths(np.array([200, 220]), 0.55)
+    assert p.tolist() == [200 - 110 + 1, 220 - 121 + 1]
+
+
+def test_set_similarity_join_brute_force_at_filter_heavy_thresholds(ray_session):
+    # exercise the length + positional prunes: wide spread of set sizes and
+    # thresholds where the prunes fire (the brute force is the completeness
+    # oracle — any over-pruning shows up as a missing pair)
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab, size=s))
+        for s in rng.randint(2, 40, size=80)
+    ]
+    # planted near-dups across very different lengths
+    for i in range(0, 30, 5):
+        ws = texts[i].split()
+        texts.append(" ".join(ws + ["extra"]))
+    for threshold in (0.4, 0.55, 0.7):
+        want = _brute_force(texts, threshold)
+        out = set_similarity_join(_docs_ds(texts), threshold=threshold).to_pandas()
+        got = {(int(r.id_left), int(r.id_right)): float(r.jaccard) for r in out.itertuples()}
+        assert set(got) == set(want), f"threshold {threshold}"
+        assert len(want) > 0
