@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_session_window": _q_session_window,
         "w3_asof_join": _q_asof_join,
         "w4_hopping_window": _q_hopping_window,
+        "w5_running_sum": _q_running_sum,
+        # --- distributed interval (range) join ------------------------------
+        "rj_purchase_window": _q_interval_join,
+        # --- mergeable-sketch approximate distinct (self-gated, no SQL oracle)
+        "hll_distinct_users_by_type": _q_hll_distinct_users,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -615,6 +620,110 @@ def _q_hopping_window(sf_dir: str):
 
     ev = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
     return hopping_windows(ev, size_s=300, hop_s=60)
+
+
+def _q_running_sum(sf_dir: str):
+    """Per-user running sum over event time — the SUM() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id) window as one hash shuffle + vectorized
+    segmented cumsum in scaled int64 (stages/intervals.running_aggregate)."""
+    from entity_resolution__ray.stages.intervals import running_aggregate
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = running_aggregate(ev, key_col="user_id", ts_col="ts",
+                            value_col="value", order_col="event_id")
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("running_sum"), "running_sum",
+            pc.round(t["running_sum"], 4, round_mode="half_towards_infinity"),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_interval_join(sf_dir: str):
+    """Distributed interval join: each purchase anchors a [ts, ts+2h) window;
+    all of the SAME user's events inside the window are matched (time-bin
+    replicated intervals × single-bin points, lex-rank merge per bucket —
+    stages/intervals.interval_join), then aggregated per anchor. Exact SQL
+    oracle (BETWEEN join)."""
+    from entity_resolution__ray.stages.blocking import bucketed_apply
+    from entity_resolution__ray.stages.intervals import interval_join
+
+    H2 = 2 * 3_600_000_000
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "anchor_id": t["event_id"],
+            "start_us": ts,
+            "end_us": pc.add(ts, H2),
+        })
+
+    def to_points(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "value": t["value"],
+        })
+
+    pairs = interval_join(
+        ev.map_batches(to_intervals, batch_format="pyarrow", zero_copy_batch=True),
+        ev.map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", start_col="start_us", end_col="end_us", ts_col="ts_us",
+        interval_cols=("anchor_id",), point_cols=("event_id", "value"),
+        bin_us=3_600_000_000,
+    )
+    # drop the anchor matching itself, then aggregate per anchor (value is
+    # 4-decimal → exact integer ten-thousandths)
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["anchor_id"], t["event_id"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        sc = pa.table({
+            "anchor_id": g["anchor_id"],
+            "__t": pc.cast(pc.round(pc.multiply(g["value"], 10_000.0), 0), pa.int64()),
+        })
+        out = sc.group_by(["anchor_id"]).aggregate([("__t", "sum"), ("__t", "count")])
+        return pa.table({
+            "anchor_id": out["anchor_id"],
+            "n_follow": out["__t_count"],
+            "sum_value": pc.round(pc.divide(pc.cast(out["__t_sum"], pa.float64()), 10_000.0),
+                                  4, round_mode="half_towards_infinity"),
+        })
+
+    return bucketed_apply(pairs, ["anchor_id"], agg, num_buckets=16,
+                          batch_format="pyarrow")
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type — HyperLogLog p=12
+    partials merged in one tiny groupby (stages/sketches.hll_grouped_distinct;
+    the fixed-size-sketch scale path beside the exact a6 shuffle). No SQL
+    oracle CAN exist (the estimate is approximate by construction), so the
+    query SELF-GATES like er_clusters: it computes the exact counts too
+    (cheap at bench scale) and raises if any estimate drifts past the 5σ
+    HLL error bound."""
+    from entity_resolution__ray.stages.curation import grouped_distinct_count
+    from entity_resolution__ray.stages.sketches import hll_grouped_distinct
+
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    est = hll_grouped_distinct(ev, "event_type", "user_id").to_pandas()
+    exact = grouped_distinct_count(
+        _t(sf_dir, "events", columns=["event_type", "user_id"]),
+        key_col="event_type", val_col="user_id", out_col="n_exact",
+    ).to_pandas()
+    merged = est.merge(exact, on="event_type")
+    rel = (merged["approx_distinct"] - merged["n_exact"]).abs() / merged["n_exact"]
+    if (rel > 0.09).any():
+        raise AssertionError(
+            f"HLL estimate drifted past the error bound: {merged.to_dict('records')}")
+    return est.sort_values("event_type").reset_index(drop=True)
 
 
 def _q_set_similarity_join(sf_dir: str):
@@ -1110,6 +1219,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM e, range(0, 5) r(i)
             GROUP BY 1, 2
+        """,
+        "w5_running_sum": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS running_sum
+            FROM events
+        """,
+        "rj_purchase_window": """
+            -- every purchase anchors a [ts, ts+2h) window; aggregate the same
+            -- user's OTHER events inside it
+            SELECT a.event_id AS anchor_id, count(*) AS n_follow,
+                   round(sum(b.value), 4) AS sum_value
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR
+             AND b.event_id <> a.event_id
+            WHERE a.event_type = 'purchase'
+            GROUP BY 1
         """,
         "sj_bigram_join": """
             -- brute-force word-bigram-set Jaccard self-join (threshold 0.4);

@@ -1,0 +1,62 @@
+"""HyperLogLog grouped distinct (stages/sketches) vs exact counts: estimator
+accuracy across cardinality regimes, partial-merge associativity, and the
+Dataset operator end to end."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from entity_resolution__ray.functions.hashing import hash_ints
+from entity_resolution__ray.stages.sketches import (
+    _hll_estimate, _hll_partial, hll_grouped_distinct)
+
+
+def _regs_of(vals, p=12):
+    keys = np.zeros(len(vals), dtype=np.int64)
+    h = hash_ints(np.asarray(vals, dtype=np.int64))
+    _, regs = _hll_partial(keys, h, p)
+    return regs[0]
+
+
+def test_hll_estimator_accuracy_across_regimes():
+    p = 12
+    for n in (10, 150, 3_000, 50_000, 400_000):
+        est = _hll_estimate(_regs_of(np.arange(n)), p)
+        rel = abs(est - n) / n
+        # 1.04/sqrt(4096) ≈ 1.6% std error; 5σ bound with slack for the
+        # linear-counting crossover
+        assert rel < 0.09, (n, est)
+
+
+def test_hll_duplicates_do_not_inflate():
+    vals = np.repeat(np.arange(500), 50)  # 25k rows, 500 distinct
+    est = _hll_estimate(_regs_of(vals), 12)
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_hll_partial_merge_is_exactly_batch_invariant():
+    # the register array from one pass must equal the elementwise max of any
+    # split's partials — merge associativity is what makes the shuffle exact
+    vals = np.arange(10_000, dtype=np.int64)
+    whole = _regs_of(vals)
+    a, b, c = _regs_of(vals[:3000]), _regs_of(vals[3000:7000]), _regs_of(vals[7000:])
+    merged = np.maximum(np.maximum(a, b), c)
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_grouped_distinct_dataset(ray_session):
+    rng = np.random.RandomState(9)
+    n = 40_000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "user_id": rng.randint(0, 5_000, n).astype(np.int64),
+    })
+    out = hll_grouped_distinct(
+        rd.from_pandas(df).repartition(8), "event_type", "user_id"
+    ).to_pandas().set_index("event_type")["approx_distinct"]
+    exact = df.groupby("event_type")["user_id"].nunique()
+    for k in exact.index:
+        rel = abs(int(out[k]) - int(exact[k])) / int(exact[k])
+        assert rel < 0.06, (k, int(out[k]), int(exact[k]))
