@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rj_purchase_window": _q_interval_join,
         # --- mergeable-sketch approximate distinct (self-gated, no SQL oracle)
         "hll_distinct_users_by_type": _q_hll_distinct_users,
+        # --- exact heavy hitters via Misra-Gries sketch + recheck ----------
+        "hh_frequent_tokens": _q_heavy_hitters,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -175,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_redact_pii": _q_redact_pii,
         "cur_quality_gopher": _q_quality_gopher,
         "cur_remove_boilerplate": _q_remove_boilerplate,
+        # --- training-sequence packing (greedy FFD, no SQL analogue) --------
+        "cur_pack_sequences": _q_pack_sequences,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -726,6 +730,49 @@ def _q_hll_distinct_users(sf_dir: str):
     return est.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (stages/packing.pack_sequences): docs packed
+    into <=512-token sequences by per-bucket first-fit-decreasing; oversized
+    docs are chunked so coverage is exact. Greedy packing is not relational →
+    no SQL oracle; the query SELF-GATES on exact token conservation (packed
+    total == corpus whitespace-token total) and the budget bound, raising on
+    any violation. Sequence membership lists are sorted out of the output
+    (the driver hashes scalar columns only)."""
+    from entity_resolution__ray.stages.packing import pack_sequences
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = pack_sequences(docs, budget=512).materialize()
+
+    packed_total = out.sum("total_tokens")
+    budget_max = out.max("total_tokens")
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))
+        n = pc.list_value_length(pc.split_pattern_regex(txt, r"\s+"))
+        n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table({"n": pc.cast(n, pa.int64())})
+
+    corpus_total = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        tok_count, batch_format="pyarrow", zero_copy_batch=True).sum("n")
+    if packed_total != corpus_total or budget_max > 512:
+        raise AssertionError(
+            f"packing gate: packed={packed_total} corpus={corpus_total} "
+            f"max_seq={budget_max}")
+    return out.select_columns(["seq_id", "n_docs", "total_tokens"])
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact frequent tokens (count >= 0.5% of all token occurrences) via the
+    two-pass Misra-Gries sketch + broadcast recheck
+    (stages/sketches.heavy_hitters) — the sketch bounds what enters the
+    shuffle at any vocabulary size; the recheck makes the output exact, so an
+    exact SQL oracle exists despite the sketch."""
+    from entity_resolution__ray.stages.sketches import heavy_hitters
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return heavy_hitters(docs, theta=0.005)
+
+
 def _q_set_similarity_join(sf_dir: str):
     """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
     (stages/setsim.set_similarity_join): prefix-filter candidates (complete
@@ -1219,6 +1266,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM e, range(0, 5) r(i)
             GROUP BY 1, 2
+        """,
+        "hh_frequent_tokens": """
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS cnt FROM tok
+            GROUP BY token
+            HAVING count(*) >= 0.005 * (SELECT count(*) FROM tok)
         """,
         "w5_running_sum": """
             SELECT event_id, user_id,

@@ -17,6 +17,8 @@ Error is ~1.04/sqrt(2^p) ≈ 1.6% at p=12 (4 KiB per group)."""
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -24,6 +26,8 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..functions.hashing import hash_column
+
+logger = logging.getLogger(__name__)
 
 
 def _hll_partial(keys: np.ndarray, hashes: np.ndarray, p: int):
@@ -116,3 +120,104 @@ def hll_grouped_distinct(
     from .blocking import bucketed_apply
 
     return bucketed_apply(partials, [key_col], merge, num_buckets=16)
+
+
+def heavy_hitters(
+    ds: Dataset,
+    text_col: str = "text",
+    theta: float = 0.005,
+    capacity: int = 4096,
+    num_buckets: int = 16,
+    max_candidates: int = 262_144,
+) -> Dataset:
+    """EXACT frequent tokens: every token whose occurrence count is
+    ``>= theta * N`` (N = total token occurrences), with its exact count —
+    via a two-pass Misra-Gries sketch + recheck, never a full-vocabulary
+    shuffle of raw occurrences.
+
+    Pass 1 (one map over text): each batch counts its tokens exactly, then
+    truncates to a Misra-Gries summary of ``capacity`` entries (subtract the
+    (capacity+1)-th largest count from all, drop <= 0 — the classic decrement,
+    done in one vectorized step). The per-batch subtracted amount is the
+    batch's exact undercount bound; summaries and bounds merge by plain
+    summation in one TINY shuffle (<= capacity rows per batch enter it,
+    regardless of vocabulary size). Mergeable-summaries guarantee (Agarwal
+    et al. 2012): true_count - merged_count <= total_subtracted, so
+    ``merged_count + total_subtracted >= theta*N`` is a complete candidate
+    filter — no true heavy hitter can be missed.
+
+    Pass 2: the (small, broadcast) candidate set is counted EXACTLY in a
+    second map + small groupby, and filtered at the true threshold. Choose
+    ``capacity >> 1/theta`` so pass 1 prunes hard; candidates above
+    ``max_candidates`` raise instead of silently broadcasting a huge set."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.text_norm import tokens_array
+    from .blocking import bucketed_apply
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(tokens_array(t[text_col]))
+        n = len(flat)
+        if n == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        d = flat.combine_chunks().dictionary_encode()
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        sub = 0
+        if len(cnt) > capacity:
+            # (capacity+1)-th largest count = the MG decrement
+            sub = int(np.partition(cnt, len(cnt) - capacity - 1)[len(cnt) - capacity - 1])
+            cnt = cnt - sub
+        keep = cnt > 0
+        toks = d.dictionary.filter(pa.array(keep))
+        rows = pa.table({"token": toks, "cnt": pa.array(cnt[keep])})
+        # sentinel rows: '#' cannot occur in [a-z0-9]+ tokens
+        sent = pa.table({"token": pa.array(["#TOTAL", "#SUB"]),
+                         "cnt": pa.array([n, sub], type=pa.int64())})
+        return pa.concat_tables([rows, sent])
+
+    summaries = ds.map_batches(batch_summary, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(cnt=("cnt", "sum"))
+
+    merged = bucketed_apply(summaries, ["token"], merge, num_buckets=num_buckets)
+
+    # the merged summary is sketch-sized; the sentinels and candidate list are
+    # a bounded driver read (gated below), NOT a corpus materialization
+    mdf = merged.to_pandas()
+    total = int(mdf.loc[mdf["token"] == "#TOTAL", "cnt"].sum())
+    slack = int(mdf.loc[mdf["token"] == "#SUB", "cnt"].sum())
+    bar = theta * total
+    cand = mdf[(~mdf["token"].isin(["#TOTAL", "#SUB"])) & (mdf["cnt"] + slack >= bar)]
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {len(cand)} candidates exceed max_candidates="
+            f"{max_candidates}; raise capacity (tighter sketch) or theta")
+    logger.info("heavy_hitters: N=%d, slack=%d, %d candidates >= %.1f",
+                total, slack, len(cand), bar)
+    cand_ref = ray.put(set(cand["token"].tolist()))
+
+    def exact_count(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        flat = pc.list_flatten(tokens_array(t[text_col]))
+        mask = pc.is_in(flat, value_set=pa.array(sorted(cands), type=pa.string()))
+        kept = flat.filter(mask)
+        if len(kept) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        d = kept.combine_chunks().dictionary_encode()
+        cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"token": d.dictionary, "cnt": pa.array(cnt)})
+
+    partials = ds.map_batches(exact_count, batch_format="pyarrow", zero_copy_batch=True)
+    exact = bucketed_apply(partials, ["token"], merge, num_buckets=num_buckets)
+    return exact.map_batches(
+        lambda t, b=bar: t.filter(pc.greater_equal(
+            pc.cast(t["cnt"], pa.float64()), b)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

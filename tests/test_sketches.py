@@ -60,3 +60,34 @@ def test_hll_grouped_distinct_dataset(ray_session):
     for k in exact.index:
         rel = abs(int(out[k]) - int(exact[k])) / int(exact[k])
         assert rel < 0.06, (k, int(out[k]), int(exact[k]))
+
+
+def test_heavy_hitters_exact_with_forced_truncation(ray_session):
+    from entity_resolution__ray.stages.sketches import heavy_hitters
+
+    # vocabulary far above capacity so the MG decrement actually fires,
+    # with planted heavy tokens the sketch must never lose
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(400):
+        toks = [f"n{rng.randint(0, 20_000)}" for _ in range(30)]
+        if i % 3 == 0:
+            toks += ["hot"] * 10
+        if i % 5 == 0:
+            toks += ["warm"] * 6
+        rng.shuffle(toks)
+        rows.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": rows})).repartition(8)
+    out = heavy_hitters(ds, theta=0.02, capacity=256).to_pandas()
+    got = dict(zip(out["token"], out["cnt"].astype(int)))
+
+    # exact reference
+    from collections import Counter
+    import re
+    c = Counter()
+    for r in rows:
+        c.update(re.findall(r"[a-z0-9]+", r.lower()))
+    n = sum(c.values())
+    want = {t: k for t, k in c.items() if k >= 0.02 * n}
+    assert got == want
+    assert "hot" in want  # the planted hitters actually qualify
