@@ -105,6 +105,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "c4_connected_components",
         "sj_bigram_join",       # exact prefix-filter set-similarity join (round 4)
         "w4_hopping_window",    # k-fold window explode + pre-shuffle partial agg (round 4)
+        "rj_purchase_window",   # distributed interval join (bin-replicated, lex-rank merge)
+        "hh_frequent_tokens",   # Misra-Gries sketch + exact recheck heavy hitters
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
