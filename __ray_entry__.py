@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_remove_boilerplate": _q_remove_boilerplate,
         # --- training-sequence packing (greedy FFD, no SQL analogue) --------
         "cur_pack_sequences": _q_pack_sequences,
+        # --- per-key z-score normalization (two-pass broadcast) -------------
+        "cur_zscore_by_type": _q_zscore_by_type,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -761,6 +763,25 @@ def _q_pack_sequences(sf_dir: str):
     return out.select_columns(["seq_id", "n_docs", "total_tokens"])
 
 
+def _q_zscore_by_type(sf_dir: str):
+    """Per-event-type z-score of value (stages/curation.grouped_zscore):
+    batch-combined (key, n, sum, sumsq) moments → one tiny keys-only shuffle
+    → broadcast stats → vectorized transform. Rounded to 4 decimals for the
+    stable float compare against the SQL window oracle."""
+    from entity_resolution__ray.stages.curation import grouped_zscore
+
+    ev = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_zscore(ev, "event_type", "value", id_cols=("event_id",))
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "zscore": pc.round(t["zscore"], 4, round_mode="half_towards_infinity"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count >= 0.5% of all token occurrences) via the
     two-pass Misra-Gries sketch + broadcast recheck
@@ -1266,6 +1287,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM e, range(0, 5) r(i)
             GROUP BY 1, 2
+        """,
+        "cur_zscore_by_type": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN stddev_pop(value) OVER w = 0 THEN 0.0
+                              ELSE (value - avg(value) OVER w)
+                                   / (stddev_pop(value) OVER w) END, 4) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
         """,
         "hh_frequent_tokens": """
             WITH tok AS (

@@ -336,3 +336,80 @@ def remove_boilerplate(
         return out.append_column("n_removed", pa.array(llen - kept_per_row))
 
     return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_zscore(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    id_cols: tuple = (),
+    out_col: str = "zscore",
+    max_broadcast_keys: int = 1_000_000,
+) -> Dataset:
+    """Per-key z-score normalization ``(v - mean_key) / stddev_pop_key`` —
+    the feature-scaling pass of a training pipeline, shaped as the classic
+    two-pass broadcast pattern: pass 1 pre-aggregates (key, n, sum, sumsq)
+    moments inside every batch (the combiner) and reduces them in one TINY
+    groupby (exchange volume = #keys, never #rows); the per-key stats are
+    broadcast once with ``ray.put`` and pass 2 is an embarrassingly parallel
+    vectorized lookup + transform. Zero-variance keys emit 0.0 (the oracle
+    coalesces identically).
+
+    Partitioning assumption (documented): key cardinality is broadcast-sized
+    (``max_broadcast_keys`` gate raises otherwise — beyond that, flip to a
+    distributed join attach, same trade as dedup's attach_mode)."""
+    import ray
+
+    def moments(t: pa.Table) -> pa.Table:
+        key_t = t.schema.field(key_col).type
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], type=key_t),
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.float64()),
+                "ss": pa.array([], type=pa.float64()),
+            })
+        kd = t[key_col].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        nk = len(kd.dictionary)
+        return pa.table({
+            key_col: kd.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=nk).astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=v, minlength=nk)),
+            "ss": pa.array(np.bincount(codes, weights=v * v, minlength=nk)),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_moments(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+
+    from .blocking import bucketed_apply
+
+    stats = bucketed_apply(parts, [key_col], reduce_moments, num_buckets=16).to_pandas()
+    if len(stats) > max_broadcast_keys:
+        raise ValueError(
+            f"grouped_zscore: {len(stats)} keys exceed max_broadcast_keys="
+            f"{max_broadcast_keys}; use a join attach instead of broadcast")
+    mean = stats["s"] / stats["n"]
+    var = (stats["ss"] / stats["n"] - mean * mean).clip(lower=0.0)
+    lut_ref = ray.put({
+        k: (float(m), float(np.sqrt(vv)))
+        for k, m, vv in zip(stats[key_col], mean, var)
+    })
+
+    def transform(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        kd = t[key_col].combine_chunks().dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mu = np.array([lut[k.as_py()][0] for k in kd.dictionary], dtype=np.float64)
+        sd = np.array([lut[k.as_py()][1] for k in kd.dictionary], dtype=np.float64)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.where(sd[codes] > 0.0, (v - mu[codes]) / np.where(sd[codes] > 0, sd[codes], 1.0), 0.0)
+        cols = {c: t[c] for c in (*id_cols, key_col, value_col)}
+        cols[out_col] = pa.array(z)
+        return pa.table(cols)
+
+    return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)

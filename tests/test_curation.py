@@ -126,3 +126,32 @@ def test_grouped_distinct_count(ray_session):
     out = grouped_distinct_count(ds, key_col="k", val_col="v").to_pandas()
     got = dict(zip(out["k"], out["n_distinct"]))
     assert got == {"a": 2, "b": 3}
+
+
+def test_grouped_zscore_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(12)
+    n = 2_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": np.round(rng.randn(n) * 7 + 3, 4),
+    })
+    # a zero-variance key
+    df.loc[df["event_type"] == "c", "value"] = 5.0
+
+    from entity_resolution__ray.stages.curation import grouped_zscore
+
+    out = grouped_zscore(
+        rd.from_pandas(df).repartition(6), "event_type", "value",
+        id_cols=("event_id",),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    g = df.groupby("event_type")["value"]
+    mu = df["event_type"].map(g.mean())
+    sd = df["event_type"].map(g.std(ddof=0))
+    want = np.where(sd > 0, (df["value"] - mu) / sd.replace(0, 1), 0.0)
+    assert np.allclose(out["zscore"], want, atol=1e-9)
+    assert (out.loc[out["event_type"] == "c", "zscore"] == 0.0).all()
