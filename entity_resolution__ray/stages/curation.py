@@ -360,31 +360,47 @@ def grouped_zscore(
     distributed join attach, same trade as dedup's attach_mode)."""
     import ray
 
+    # numerically stable moments: per batch (n, mean, M2 = Σ(v-mean)²) — the
+    # raw Σv² form cancels catastrophically for large-offset low-variance
+    # keys (values ~1e6 with spread 0.01 lose the entire variance to float
+    # error), which would also break the stddev_pop oracle compare
     def moments(t: pa.Table) -> pa.Table:
         key_t = t.schema.field(key_col).type
         if t.num_rows == 0:
             return pa.table({
                 key_col: pa.array([], type=key_t),
                 "n": pa.array([], type=pa.int64()),
-                "s": pa.array([], type=pa.float64()),
-                "ss": pa.array([], type=pa.float64()),
+                "m": pa.array([], type=pa.float64()),
+                "m2": pa.array([], type=pa.float64()),
             })
         kd = t[key_col].combine_chunks().dictionary_encode()
         codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         nk = len(kd.dictionary)
+        n = np.bincount(codes, minlength=nk).astype(np.int64)
+        mean = np.bincount(codes, weights=v, minlength=nk) / np.maximum(n, 1)
+        dev = v - mean[codes]
+        m2 = np.bincount(codes, weights=dev * dev, minlength=nk)
         return pa.table({
             key_col: kd.dictionary,
-            "n": pa.array(np.bincount(codes, minlength=nk).astype(np.int64)),
-            "s": pa.array(np.bincount(codes, weights=v, minlength=nk)),
-            "ss": pa.array(np.bincount(codes, weights=v * v, minlength=nk)),
+            "n": pa.array(n),
+            "m": pa.array(mean),
+            "m2": pa.array(m2),
         })
 
     parts = ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
 
     def reduce_moments(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(key_col, as_index=False).agg(
-            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+        # closed-form parallel merge (Chan et al.): M2 = Σ M2_i + Σ n_i(m_i-m̄)²
+        g = g.assign(nm=g["n"] * g["m"])
+        agg = g.groupby(key_col, as_index=False).agg(
+            n=("n", "sum"), nm=("nm", "sum"), m2=("m2", "sum"))
+        agg["m"] = agg["nm"] / agg["n"]
+        spread = g.merge(agg[[key_col, "m"]], on=key_col, suffixes=("", "_tot"))
+        corr = (spread["n"] * (spread["m"] - spread["m_tot"]) ** 2).groupby(
+            spread[key_col]).sum()
+        agg["m2"] = agg["m2"] + agg[key_col].map(corr).fillna(0.0)
+        return agg[[key_col, "n", "m", "m2"]]
 
     from .blocking import bucketed_apply
 
@@ -393,8 +409,8 @@ def grouped_zscore(
         raise ValueError(
             f"grouped_zscore: {len(stats)} keys exceed max_broadcast_keys="
             f"{max_broadcast_keys}; use a join attach instead of broadcast")
-    mean = stats["s"] / stats["n"]
-    var = (stats["ss"] / stats["n"] - mean * mean).clip(lower=0.0)
+    mean = stats["m"]
+    var = (stats["m2"] / stats["n"]).clip(lower=0.0)
     lut_ref = ray.put({
         k: (float(m), float(np.sqrt(vv)))
         for k, m, vv in zip(stats[key_col], mean, var)

@@ -169,14 +169,28 @@ def interval_join(
             return empty
         p_idx = np.nonzero(is_p)[0]
         i_idx = np.nonzero(~is_p)[0]
-        p_ts = g[ts_col].combine_chunks().to_numpy(zero_copy_only=False)[p_idx]
-        i_start = g[start_col].combine_chunks().to_numpy(zero_copy_only=False)[i_idx]
-        i_end = g[end_col].combine_chunks().to_numpy(zero_copy_only=False)[i_idx]
+        # slice each side's rows BEFORE to_numpy: the union pads the other
+        # side's columns with nulls, and an int64 Arrow column WITH nulls
+        # converts to float64 (silent precision loss above 2^53)
+        def _side_ints(col_name, rows):
+            arr = pc.take(g[col_name].combine_chunks(), pa.array(rows))
+            return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        p_ts = _side_ints(ts_col, p_idx)
+        i_start = _side_ints(start_col, i_idx)
+        i_end = _side_ints(end_col, i_idx)
         pk, pb = keys[p_idx], bins[p_idx]
         ik, ib = keys[i_idx], bins[i_idx]
-        lo, p_order = _lex_rank_points((pb, pk, p_ts), (ib, ik, i_start))
-        hi, _ = _lex_rank_points((pb, pk, p_ts), (ib, ik, i_end))
-        cnt = hi - lo
+        # rank BOTH bound sets in one merged lexsort (the points sort is the
+        # dominant cost; two separate calls would pay it twice)
+        n_i = len(i_idx)
+        ranks, p_order = _lex_rank_points(
+            (pb, pk, p_ts),
+            (np.concatenate([ib, ib]), np.concatenate([ik, ik]),
+             np.concatenate([i_start, i_end])))
+        lo, hi = ranks[:n_i], ranks[n_i:]
+        # malformed intervals (end < start) match nothing, like SQL BETWEEN
+        cnt = np.maximum(hi - lo, 0)
         tot = int(cnt.sum())
         if tot == 0:
             return empty

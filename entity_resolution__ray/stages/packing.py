@@ -128,6 +128,11 @@ def pack_sequences(
                 n_docs=(id_col, "size"),
                 total_tokens=("n_tokens", "sum"),
             ).reset_index()
+            if len(agg) > (1 << 32):
+                raise ValueError(
+                    f"pack_sequences: bucket {bkt} produced {len(agg)} "
+                    "sequences, overflowing the 32-bit local id slot — raise "
+                    "num_buckets so each bucket packs fewer docs")
             agg["seq_id"] = (int(bkt) << 32) + agg["__seq"].astype(np.int64)
             outs.append(agg[["seq_id", "doc_ids", "chunk_idxs", "n_docs", "total_tokens"]])
         return pd.concat(outs, ignore_index=True)

@@ -192,6 +192,36 @@ def heavy_hitters(
     total = int(mdf.loc[mdf["token"] == "#TOTAL", "cnt"].sum())
     slack = int(mdf.loc[mdf["token"] == "#SUB", "cnt"].sum())
     bar = theta * total
+    if slack >= bar and total > 0:
+        # COMPLETENESS GUARD: a token decremented out of every batch summary
+        # has true count <= slack; if slack >= theta*N such a token could be
+        # a heavy hitter the sketch never saw. Fall back to the exact
+        # full-vocabulary count (what the sketch exists to avoid — the caller
+        # should raise `capacity`; the fallback keeps the output exact at ANY
+        # parameterization instead of silently dropping hitters).
+        logger.warning(
+            "heavy_hitters: undercount slack %d >= threshold bar %.1f — "
+            "capacity=%d is too small for theta=%g on this corpus; falling "
+            "back to the exact full-vocabulary count", slack, bar, capacity, theta)
+
+        def full_count(t: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(tokens_array(t[text_col]))
+            if len(flat) == 0:
+                return pa.table({"token": pa.array([], type=pa.string()),
+                                 "cnt": pa.array([], type=pa.int64())})
+            d = flat.combine_chunks().dictionary_encode()
+            cnt = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                              minlength=len(d.dictionary)).astype(np.int64)
+            return pa.table({"token": d.dictionary, "cnt": pa.array(cnt)})
+
+        partials = ds.map_batches(full_count, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        exact = bucketed_apply(partials, ["token"], merge, num_buckets=num_buckets)
+        return exact.map_batches(
+            lambda t, b=bar: t.filter(pc.greater_equal(
+                pc.cast(t["cnt"], pa.float64()), b)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     cand = mdf[(~mdf["token"].isin(["#TOTAL", "#SUB"])) & (mdf["cnt"] + slack >= bar)]
     if len(cand) > max_candidates:
         raise ValueError(
@@ -199,12 +229,14 @@ def heavy_hitters(
             f"{max_candidates}; raise capacity (tighter sketch) or theta")
     logger.info("heavy_hitters: N=%d, slack=%d, %d candidates >= %.1f",
                 total, slack, len(cand), bar)
-    cand_ref = ray.put(set(cand["token"].tolist()))
+    # broadcast the PREBUILT sorted Arrow array once — rebuilding it per
+    # batch paid an O(C log C) sort on every pass-2 task
+    cand_ref = ray.put(pa.array(sorted(cand["token"].tolist()), type=pa.string()))
 
     def exact_count(t: pa.Table) -> pa.Table:
-        cands = ray.get(cand_ref)
+        cand_arr = ray.get(cand_ref)
         flat = pc.list_flatten(tokens_array(t[text_col]))
-        mask = pc.is_in(flat, value_set=pa.array(sorted(cands), type=pa.string()))
+        mask = pc.is_in(flat, value_set=cand_arr)
         kept = flat.filter(mask)
         if len(kept) == 0:
             return pa.table({"token": pa.array([], type=pa.string()),

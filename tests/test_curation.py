@@ -155,3 +155,30 @@ def test_grouped_zscore_matches_pandas(ray_session):
     want = np.where(sd > 0, (df["value"] - mu) / sd.replace(0, 1), 0.0)
     assert np.allclose(out["zscore"], want, atol=1e-9)
     assert (out.loc[out["event_type"] == "c", "zscore"] == 0.0).all()
+
+
+def test_grouped_zscore_large_offset_low_variance_stability(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution__ray.stages.curation import grouped_zscore
+
+    # values ~1e6 with spread ~0.01: the naive E[x^2]-mean^2 form loses the
+    # entire variance to float cancellation; the shifted-moments combiner
+    # must stay within 1e-6 of the stable reference
+    rng = np.random.RandomState(3)
+    v = np.round(1_000_000.0 + rng.randn(4_000) * 0.01, 6)
+    df = pd.DataFrame({
+        "event_id": np.arange(len(v), dtype=np.int64),
+        "event_type": np.where(np.arange(len(v)) % 2 == 0, "a", "b"),
+        "value": v,
+    })
+    out = grouped_zscore(
+        rd.from_pandas(df).repartition(7), "event_type", "value",
+        id_cols=("event_id",),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    g = df.groupby("event_type")["value"]
+    mu = df["event_type"].map(g.mean())
+    sd = df["event_type"].map(g.std(ddof=0))
+    want = (df["value"] - mu) / sd
+    assert np.allclose(out["zscore"], want, atol=1e-6)

@@ -97,3 +97,36 @@ def test_running_aggregate_matches_window_sql(ray_session):
     want = want.sort_values("event_id").reset_index(drop=True)
     assert out["event_id"].tolist() == want["event_id"].tolist()
     assert np.allclose(out["running_sum"], want["running_sum"], atol=1e-6)
+
+
+def test_interval_join_malformed_interval_matches_nothing(ray_session):
+    # end < start must behave like SQL BETWEEN on an empty range (no crash)
+    idf = pd.DataFrame({"anchor_id": [0, 1], "k": [1, 1],
+                        "s": [100, 10], "e": [50, 60]}).astype(np.int64)
+    pdf = pd.DataFrame({"event_id": [7, 8], "k": [1, 1],
+                        "t": [70, 20]}).astype(np.int64)
+    out = interval_join(
+        rd.from_pandas(idf), rd.from_pandas(pdf),
+        key_col="k", start_col="s", end_col="e", ts_col="t",
+        interval_cols=("anchor_id",), point_cols=("event_id",),
+        bin_us=1000, num_buckets=2,
+    ).to_pandas()
+    got = sorted(zip(out["anchor_id"].astype(int), out["event_id"].astype(int)))
+    assert got == [(1, 8)]  # only the well-formed interval matches
+
+
+def test_interval_join_preserves_int64_precision(ray_session):
+    # nanosecond-epoch-scale int64 values (> 2^53) must not round through
+    # float64: two points 1ns on either side of a bound
+    base = 1_700_000_000_000_000_000
+    idf = pd.DataFrame({"anchor_id": [0], "k": [1],
+                        "s": [base], "e": [base + 2]}).astype(np.int64)
+    pdf = pd.DataFrame({"event_id": [1, 2, 3], "k": [1, 1, 1],
+                        "t": [base - 1, base, base + 2]}).astype(np.int64)
+    out = interval_join(
+        rd.from_pandas(idf), rd.from_pandas(pdf),
+        key_col="k", start_col="s", end_col="e", ts_col="t",
+        interval_cols=("anchor_id",), point_cols=("event_id",),
+        bin_us=1_000_000, num_buckets=2,
+    ).to_pandas()
+    assert sorted(out["event_id"].astype(int)) == [2]

@@ -91,3 +91,21 @@ def test_heavy_hitters_exact_with_forced_truncation(ray_session):
     want = {t: k for t, k in c.items() if k >= 0.02 * n}
     assert got == want
     assert "hot" in want  # the planted hitters actually qualify
+
+
+def test_heavy_hitters_fallback_when_capacity_too_small(ray_session):
+    from entity_resolution__ray.stages.sketches import heavy_hitters
+
+    # one 'hot' occurrence per batch among hundreds of singletons: the MG
+    # decrement erases it from EVERY batch summary, so only the
+    # slack-vs-bar completeness guard (exact fallback) can recover it
+    rng = np.random.RandomState(13)
+    rows = []
+    for b in range(64):
+        toks = [f"u{b}x{i}" for i in range(600)] + ["hot"]
+        rng.shuffle(toks)
+        rows.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": rows})).repartition(64)
+    out = heavy_hitters(ds, theta=0.0015, capacity=64).to_pandas()
+    got = dict(zip(out["token"], out["cnt"].astype(int)))
+    assert got.get("hot") == 64  # true count 64 >= bar ~57.7
