@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_pack_sequences": _q_pack_sequences,
         # --- per-key z-score normalization (two-pass broadcast) -------------
         "cur_zscore_by_type": _q_zscore_by_type,
+        # --- deterministic hash-based train/val/test split -------------------
+        "cur_train_split": _q_train_split,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -782,6 +784,17 @@ def _q_zscore_by_type(sf_dir: str):
     )
 
 
+def _q_train_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id) prefix
+    (stages/curation.train_split): shuffle-free, growth-stable (a doc's split
+    never changes when the corpus grows — the property random seeds cannot
+    give), and exactly replicable in SQL (same md5-prefix arithmetic)."""
+    from entity_resolution__ray.stages.curation import train_split
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    return train_split(docs, id_col="doc_id")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count >= 0.5% of all token occurrences) via the
     two-pass Misra-Gries sketch + broadcast recheck
@@ -1295,6 +1308,18 @@ def oracle_sql() -> dict[str, str]:
                                    / (stddev_pop(value) OVER w) END, 4) AS zscore
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "cur_train_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS u
+              FROM documents
+            )
         """,
         "hh_frequent_tokens": """
             WITH tok AS (

@@ -429,3 +429,31 @@ def grouped_zscore(
         return pa.table(cols)
 
     return ds.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_split(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    fractions: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+) -> Dataset:
+    """Deterministic train/val/test assignment: the first 8 hex digits of
+    md5(id) map each row to a uniform [0,1) bucket, cut at the cumulative
+    fractions. Embarrassingly parallel (no shuffle), stable across runs,
+    cluster sizes AND dataset growth (a doc's split never changes when other
+    docs arrive — the property random seeds cannot give), and SQL-replicable
+    for the oracle (same md5-prefix arithmetic)."""
+    if len(fractions) != len(names) or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must match names and sum to 1")
+    cuts = np.cumsum(fractions)[:-1]
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("split", pa.array([], type=pa.string()))
+        hexes = _md5_hex(t[id_col].to_pylist())
+        u = np.array([int(h[:8], 16) for h in hexes], dtype=np.float64) / float(1 << 32)
+        idx = np.searchsorted(cuts, u, side="right")
+        return t.append_column(
+            "split", pa.array([names[i] for i in idx], type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -182,3 +182,29 @@ def test_grouped_zscore_large_offset_low_variance_stability(ray_session):
     sd = df["event_type"].map(g.std(ddof=0))
     want = (df["value"] - mu) / sd
     assert np.allclose(out["zscore"], want, atol=1e-6)
+
+
+def test_train_split_deterministic_and_growth_stable(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution__ray.stages.curation import train_split
+
+    df = pd.DataFrame({"doc_id": np.arange(5_000, dtype=np.int64)})
+    out = train_split(rd.from_pandas(df).repartition(5)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # growth stability: the first 1,000 docs keep their split when 4,000 more
+    # arrive (hash-based, not rank-based)
+    small = train_split(rd.from_pandas(df.head(1000))).to_pandas()
+    merged = small.merge(out, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # SQL-replicable: same md5-prefix arithmetic
+    import hashlib
+    u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in range(5_000)]) / float(1 << 32)
+    want = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == want).all()
