@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_by_type": _q_hll_distinct_users,
         # --- exact heavy hitters via Misra-Gries sketch + recheck ----------
         "hh_frequent_tokens": _q_heavy_hitters,
+        # --- Bloom-prefiltered semi join (shuffle-volume reducer) -----------
+        "j5_bloom_semi_revenue": _q_bloom_semi_revenue,
         # --- dedup ---------------------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -807,6 +809,44 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(docs, theta=0.005)
 
 
+def _q_bloom_semi_revenue(sf_dir: str):
+    """Per-order lineitem revenue restricted to 1-URGENT orders, computed as
+    Bloom prefilter (stages/joins.build_bloom_filter — no false negatives, so
+    the result is exact) → distributed semi join (removes Bloom false
+    positives) → pre-aggregated grouped sum in integer cents. The Bloom pass
+    drops non-matching probe rows BEFORE any shuffle — the classic join
+    shuffle-volume reducer."""
+    from entity_resolution__ray.stages.blocking import bucketed_apply
+    from entity_resolution__ray.stages.joins import (
+        bloom_prefilter, build_bloom_filter, distributed_anti_join)
+
+    urgent = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    bm = build_bloom_filter(urgent, on=["l_orderkey"], num_bits=1 << 20)
+    pre = bloom_prefilter(li, bm, on=["l_orderkey"])
+    matched = distributed_anti_join(pre, urgent, on=["l_orderkey"], semi=True)
+
+    def agg(g: pa.Table) -> pa.Table:
+        sc = pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "__c": pc.cast(pc.round(pc.multiply(g["l_extendedprice"], 100.0), 0),
+                           pa.int64()),
+        })
+        out = sc.group_by(["l_orderkey"]).aggregate([("__c", "sum")])
+        return pa.table({
+            "l_orderkey": out["l_orderkey"],
+            "revenue": pc.round(pc.divide(pc.cast(out["__c_sum"], pa.float64()), 100.0),
+                                2, round_mode="half_towards_infinity"),
+        })
+
+    return bucketed_apply(matched, ["l_orderkey"], agg, num_buckets=16,
+                          batch_format="pyarrow")
+
+
 def _q_set_similarity_join(sf_dir: str):
     """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
     (stages/setsim.set_similarity_join): prefix-filter candidates (complete
@@ -1308,6 +1348,13 @@ def oracle_sql() -> dict[str, str]:
                                    / (stddev_pop(value) OVER w) END, 4) AS zscore
             FROM events
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "j5_bloom_semi_revenue": """
+            SELECT l_orderkey, round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1
         """,
         "cur_train_split": """
             SELECT doc_id,

@@ -333,3 +333,87 @@ def attach_doc_columns(
         left_schema=hash_join_schema(pschema, lside_schema, ["id_left"]),
         right_schema=rside_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filter
+# ---------------------------------------------------------------------------
+def build_bloom_filter(
+    ds: Dataset,
+    on: Sequence[str],
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+    max_partial_bytes: int = 1 << 30,
+) -> np.ndarray:
+    """Packed uint64 Bloom bitmap over ``ds``'s key tuples — the classic
+    shuffle-volume reducer for joins with selective small sides: probe rows
+    that cannot match are dropped BEFORE the join shuffle, and Bloom filters
+    have no false negatives, so the join result is bit-identical.
+
+    Mergeable-partial shape (like the HLL registers): each batch sets bits in
+    a local bitmap (k splitmix64 hashes per row, one vectorized scatter), and
+    partials OR together associatively — collected here in one bounded driver
+    read (num_bits/8 bytes per block; gated by ``max_partial_bytes``). Size
+    ``num_bits ≈ 10× expected distinct keys`` for ~1% false positives at
+    k=4."""
+    from ..functions.hashing import hash_columns
+
+    words = num_bits // 64
+    cols = list(on)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, dtype=np.uint64)
+        if t.num_rows:
+            for i in range(num_hashes):
+                h = hash_columns(t, cols, seed=i) % np.uint64(num_bits)
+                np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bm": pa.FixedSizeListArray.from_arrays(
+            pa.array(bm, type=pa.uint64()), words)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = parts.materialize()  # count + iter below must not re-run the build side
+    n_blocks = parts.count()
+    if n_blocks * words * 8 > max_partial_bytes:
+        raise ValueError(
+            f"build_bloom_filter: {n_blocks} partials × {words*8} B exceed "
+            f"max_partial_bytes; reduce num_bits or pre-coalesce the build side")
+    out = np.zeros(words, dtype=np.uint64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        flat = b["bm"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        merged = np.bitwise_or.reduce(flat.reshape(-1, words).astype(np.uint64), axis=0)
+        np.bitwise_or(out, merged, out=out)
+    return out
+
+
+def bloom_prefilter(
+    probe: Dataset,
+    bitmap: np.ndarray,
+    on: Sequence[str],
+    num_hashes: int = 4,
+) -> Dataset:
+    """Drop probe rows whose key tuple cannot exist in the Bloom ``bitmap``
+    (no false negatives — every true match survives; false positives are
+    removed by the exact join that follows). One ray.put, vectorized bit
+    probes per batch, no shuffle."""
+    import ray as _ray
+
+    num_bits = len(bitmap) * 64
+    bm_ref = _ray.put(bitmap)
+    cols = list(on)
+
+    def filt(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_columns
+        from ..state.worker_cache import cached_get
+
+        if t.num_rows == 0:
+            return t
+        bm = cached_get(bm_ref)
+        hit = np.ones(t.num_rows, dtype=bool)
+        for i in range(num_hashes):
+            h = hash_columns(t, cols, seed=i) % np.uint64(num_bits)
+            word = bm[(h >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (h & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    return probe.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

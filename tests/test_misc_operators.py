@@ -102,3 +102,38 @@ def test_distributed_anti_join_multikey(ray_session):
     assert sorted(anti["v"].tolist()) == [20, 30]
     semi = distributed_anti_join(left, right, on=["a", "b"], semi=True).to_pandas()
     assert semi["v"].tolist() == [10]
+
+
+def test_bloom_prefilter_join_parity_and_selectivity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution__ray.stages.joins import (
+        bloom_prefilter, build_bloom_filter, distributed_anti_join, hash_join)
+
+    rng = np.random.RandomState(21)
+    small = pd.DataFrame({"k": rng.choice(100_000, 300, replace=False).astype(np.int64)})
+    small["v"] = small["k"] * 2
+    large = pd.DataFrame({"k": rng.randint(0, 100_000, 20_000).astype(np.int64),
+                          "payload": np.arange(20_000, dtype=np.int64)})
+
+    bm = build_bloom_filter(rd.from_pandas(small), on=["k"], num_bits=1 << 14)
+    pre = bloom_prefilter(rd.from_pandas(large), bm, on=["k"])
+
+    # no false negatives: the exact join over the prefiltered probe equals
+    # the exact join over the raw probe
+    j_pre = hash_join(pre, rd.from_pandas(small), on=["k"]).to_pandas()
+    j_raw = hash_join(rd.from_pandas(large), rd.from_pandas(small), on=["k"]).to_pandas()
+    key = ["k", "payload"]
+    assert (j_pre.sort_values(key).reset_index(drop=True)[["k", "payload", "v"]]
+            .equals(j_raw.sort_values(key).reset_index(drop=True)[["k", "payload", "v"]]))
+
+    # selectivity: ~0.3% true match rate; the prefilter must drop the bulk
+    n_pre = pre.count()
+    assert n_pre < 2_000, n_pre  # ≥90% dropped even with false positives
+
+    # semi-join composition path (false positives removed by the exact step)
+    semi = distributed_anti_join(pre, rd.from_pandas(small), on=["k"], semi=True).to_pandas()
+    want = large[large["k"].isin(set(small["k"]))]
+    assert sorted(semi["payload"]) == sorted(want["payload"])
