@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_by_type": _q_hll_distinct_users,
         # --- exact heavy hitters via Misra-Gries sketch + recheck ----------
         "hh_frequent_tokens": _q_heavy_hitters,
+        # --- bottom-k-sample approximate quantiles (self-gated, no oracle) --
+        "approx_quantiles_by_type": _q_approx_quantiles,
         # --- Bloom-prefiltered semi join (shuffle-volume reducer) -----------
         "j5_bloom_semi_revenue": _q_bloom_semi_revenue,
         # --- dedup ---------------------------------------------------------
@@ -807,6 +809,40 @@ def _q_heavy_hitters(sf_dir: str):
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return heavy_hitters(docs, theta=0.005)
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Approximate per-event-type quantiles of value via deterministic
+    bottom-k(id-hash) sampling (stages/sketches.approx_grouped_quantiles) —
+    the continuous-domain scale path beside the exact histogram
+    a5_quantiles_by_lang. Sampling is approximate by construction → no SQL
+    equality oracle; the query SELF-GATES on rank error vs the exact sorted
+    values (5σ binomial bound), raising on drift."""
+    import duckdb
+
+    from entity_resolution__ray.stages.sketches import approx_grouped_quantiles
+
+    ev = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = approx_grouped_quantiles(
+        ev, "event_type", "value", "event_id", qs=(0.25, 0.5, 0.9), k=4096
+    ).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{os.path.join(sf_dir, 'events.parquet')}')")
+    exact = con.execute(
+        "SELECT event_type, value FROM events").fetchdf()
+    for key, sub in exact.groupby("event_type"):
+        vals = np.sort(sub["value"].to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            est = float(out[(out["event_type"] == key) & (out["q"] == q)]["value"].iloc[0])
+            rank = np.searchsorted(vals, est) / len(vals)
+            k_eff = min(4096, len(vals))
+            tol = 5 * np.sqrt(q * (1 - q) / k_eff) + 1e-3
+            if abs(rank - q) > tol:
+                raise AssertionError(
+                    f"approx quantile drift: {key} q={q} rank={rank:.4f}")
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
 def _q_bloom_semi_revenue(sf_dir: str):

@@ -109,3 +109,48 @@ def test_heavy_hitters_fallback_when_capacity_too_small(ray_session):
     out = heavy_hitters(ds, theta=0.0015, capacity=64).to_pandas()
     got = dict(zip(out["token"], out["cnt"].astype(int)))
     assert got.get("hot") == 64  # true count 64 >= bar ~57.7
+
+
+def test_approx_grouped_quantiles_rank_error(ray_session):
+    from entity_resolution__ray.stages.sketches import approx_grouped_quantiles
+
+    rng = np.random.RandomState(17)
+    n = 120_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": rng.lognormal(0.0, 1.5, n),
+    })
+    out = approx_grouped_quantiles(
+        rd.from_pandas(df).repartition(10), "event_type", "value", "event_id",
+        qs=(0.25, 0.5, 0.9), k=4096,
+    ).to_pandas()
+    for key, sub in df.groupby("event_type"):
+        vals = np.sort(sub["value"].to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            est = float(out[(out["event_type"] == key) & (out["q"] == q)]["value"].iloc[0])
+            # rank error: position of the estimate within the exact sorted
+            # values must be within ~5 sigma of q (sigma ≈ sqrt(q(1-q)/k))
+            rank = np.searchsorted(vals, est) / len(vals)
+            tol = 5 * np.sqrt(q * (1 - q) / 4096) + 1e-3
+            assert abs(rank - q) < tol, (key, q, rank)
+
+
+def test_approx_grouped_quantiles_deterministic_and_mergeable(ray_session):
+    from entity_resolution__ray.stages.sketches import approx_grouped_quantiles
+
+    rng = np.random.RandomState(18)
+    n = 20_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": np.repeat("x", n),
+        "value": rng.randn(n),
+    })
+    a = approx_grouped_quantiles(
+        rd.from_pandas(df).repartition(3), "event_type", "value", "event_id", k=512
+    ).to_pandas().sort_values("q").reset_index(drop=True)
+    b = approx_grouped_quantiles(
+        rd.from_pandas(df).repartition(17), "event_type", "value", "event_id", k=512
+    ).to_pandas().sort_values("q").reset_index(drop=True)
+    # bottom-k by id hash is partitioning-invariant: results are IDENTICAL
+    assert a["value"].tolist() == b["value"].tolist()
