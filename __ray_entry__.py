@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- grouped aggregates (A2/A5-like) -------------------------------
         "a2_orders_by_customer": _q_orders_by_customer,
         "a6_distinct_users_by_type": _q_distinct_users_by_type,
+        # --- ROLLUP grouping sets (pre-aggregated shuffle cascade) ----------
+        "a8_rollup_lineitem": _q_rollup_lineitem,
         # --- distributed anti-join (J4 at scale) ----------------------------
         "j4_customers_no_urgent_order": _q_customers_no_urgent_order,
         # --- canonical pairs + candidate generation (M10/J2) ---------------
@@ -187,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_zscore_by_type": _q_zscore_by_type,
         # --- deterministic hash-based train/val/test split -------------------
         "cur_train_split": _q_train_split,
+        # --- overlapping word-window chunking (RAG / context prep) ----------
+        "cur_chunk_documents": _q_chunk_documents,
         # --- the full ER pipeline (classifier → no SQL oracle) -------------
         "er_clusters": _q_er_clusters,
     }
@@ -298,6 +302,57 @@ def _q_orders_by_customer(sf_dir: str):
         return out[["o_custkey", "n_orders", "sum_price", "max_price"]]
 
     return bucketed_apply(orders, ["o_custkey"], agg, num_buckets=32)
+
+
+def _q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem
+    (stages/rollup.rollup_aggregate): one vectorized finest-grain partial
+    aggregation over the fact rows, then tiny re-aggregation shuffles per
+    rollup level. Metrics are exact integers end to end — quantity as int64
+    units, revenue as extendedprice-cents × (1-discount)-percent (1e-4 units,
+    both 2-decimal in TPC-H) — so sums are independent of block boundaries;
+    the final /10000.0 is one deterministic IEEE division on both sides."""
+    from entity_resolution__ray.stages.rollup import rollup_aggregate
+
+    li = _t(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(
+            pc.round(pc.multiply(pc.subtract(pa.scalar(1.0), t["l_discount"]), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "rev4": pc.multiply(cents, disc),
+            }
+        )
+
+    rolled = rollup_aggregate(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_int_cols=["qty", "rev4"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["qty"],
+                "revenue": pc.divide(pc.cast(t["rev4"], pa.float64()), 10000.0),
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _first_token_keys(t: pa.Table) -> pa.Table:
@@ -799,6 +854,18 @@ def _q_train_split(sf_dir: str):
     return train_split(docs, id_col="doc_id")
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping word-window chunking (stages/chunking.chunk_documents):
+    32-word chunks, stride 24 (8-word overlap) — doc-local, one map_batches,
+    no shuffle; fully vectorized gather over the flattened word array. The
+    SQL oracle replicates the exact start grid with generate_series and list
+    slicing."""
+    from entity_resolution__ray.stages.chunking import chunk_documents
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_words=32, stride_words=24)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count >= 0.5% of all token occurrences) via the
     two-pass Misra-Gries sketch + broadcast recheck
@@ -1265,6 +1332,18 @@ def oracle_sql() -> dict[str, str]:
                    max(o_totalprice) AS max_price
             FROM orders GROUP BY o_custkey
         """,
+        # exact-integer metrics (see _q_rollup_lineitem): revenue summed in
+        # 1e-4 currency units as integers, one final IEEE division — both
+        # sides bit-identical regardless of partitioning / summation order.
+        "a8_rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                     / 10000.0 AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "j2_block_candidates": """
             WITH keyed AS (
               SELECT doc_id, regexp_extract(lower(text), '[a-z0-9]+') AS k FROM documents
@@ -1403,6 +1482,21 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        # same word grid as stages/chunking.chunk_batch: whitespace split of
+        # trim(text), starts = generate_series(1, n_words, 24), 32-word
+        # windows, inclusive list slicing, single-space join.
+        "cur_chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''
+            ), s AS (
+              SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS gs FROM d
+            )
+            SELECT doc_id, gs AS chunk_start,
+                   CAST(least(32, len(w) - gs + 1) AS BIGINT) AS n_chunk_words,
+                   array_to_string(w[gs: gs+31], ' ') AS chunk_text
+            FROM s
         """,
         "hh_frequent_tokens": """
             WITH tok AS (

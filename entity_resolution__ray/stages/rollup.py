@@ -1,0 +1,134 @@
+"""Grouping-sets / ROLLUP aggregation as a pre-aggregated shuffle cascade.
+
+``rollup_aggregate`` computes SQL ``GROUP BY ROLLUP(k1, k2, …)`` — the full
+aggregate at every key prefix (finest → … → grand total, coarser levels
+carrying NULL in the rolled-up key columns) — the standard warehouse shape
+for hierarchical reports (nation → region → world, flag → status → all).
+
+Scale shape: the raw rows are touched ONCE — a per-batch vectorized partial
+aggregation at the finest grain inside ``map_batches`` — so the only
+all-to-all moves (finest-key-domain × blocks) partial rows, never the fact
+table. Every coarser level is then re-aggregated FROM the finest result
+(bounded by the key domain, not by row count), so adding levels costs a
+cascade of tiny shuffles, not extra passes over the data.
+
+Metrics are summed as exact int64 so results are independent of block
+boundaries and summation order (the same currency-cents discipline as
+j1_revenue_by_nation in ``__ray_entry__``): callers pass ``sum_int_cols``
+mapping output name → an int64-valued expression column they prepared
+upstream; ``rollup_aggregate`` emits exact int64 sums plus a row count and
+leaves any final /100 style rescale to the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _partial_agg(df: pd.DataFrame, keys: list, sum_cols: list, count_col: str) -> pd.DataFrame:
+    g = df.groupby(keys, dropna=False, sort=False)
+    out = g[sum_cols].sum()
+    out[count_col] = g.size()
+    return out.reset_index()
+
+
+def _key_types(ds: Dataset, keys: list) -> dict:
+    """Arrow type of each key column, without executing the dataset. Parquet
+    reads expose an Arrow base_schema; pandas-block datasets expose numpy
+    dtypes (object → string, the only ambiguous case)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {k: base.field(k).type for k in keys}
+    dtypes = dict(zip(sch.names, getattr(base, "types", [])))
+
+    def to_arrow(dt):
+        try:
+            return pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    return {k: to_arrow(dtypes[k]) for k in keys}
+
+
+def rollup_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    sum_int_cols: Sequence[str],
+    count_col: str = "n_rows",
+    num_buckets: int = 16,
+) -> Dataset:
+    """``GROUP BY ROLLUP(keys)`` over int64 metric columns (module docstring).
+
+    Returns a Dataset with columns ``keys + sum_int_cols + [count_col]``;
+    rolled-up key columns are NULL (typed to the input key type) and every
+    level from the finest grain to the grand total is present.
+    """
+    keys = list(keys)
+    sums = list(sum_int_cols)
+    if not keys:
+        raise ValueError("rollup_aggregate needs at least one key column")
+    from .blocking import bucketed_apply
+
+    key_types = _key_types(ds, keys)
+
+    # ---- pass over the raw rows: finest-grain partial agg per batch -------
+    partial = ds.map_batches(
+        lambda df: _partial_agg(df, keys, sums, count_col),
+        batch_format="pandas",
+    )
+    # sum-of-partials is the same re-aggregation shape at every level
+    agg_cols = sums + [count_col]
+
+    def combine(df: pd.DataFrame, level_keys: list) -> pd.DataFrame:
+        return df.groupby(level_keys, dropna=False, sort=False)[agg_cols].sum().reset_index()
+
+    finest = bucketed_apply(
+        partial, keys, lambda df: combine(df, keys), num_buckets=num_buckets
+    )
+
+    def widen(level_keys: list):
+        """Null-fill the rolled-up key columns so every level unions cleanly."""
+        nulled = [k for k in keys if k not in level_keys]
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {k: t[k] for k in level_keys}
+            for k in nulled:
+                cols[k] = pa.nulls(n, type=key_types[k])
+            for c in agg_cols:
+                cols[c] = t[c]
+            return pa.table({c: cols[c] for c in keys + agg_cols})
+
+        return fn
+
+    levels = [
+        finest.map_batches(widen(keys), batch_format="pyarrow", zero_copy_batch=True)
+    ]
+    for i in range(len(keys) - 1, 0, -1):
+        lk = keys[:i]
+        lvl = bucketed_apply(
+            finest, lk, lambda df, lk=lk: combine(df, lk), num_buckets=min(num_buckets, 8)
+        )
+        levels.append(lvl.map_batches(widen(lk), batch_format="pyarrow", zero_copy_batch=True))
+
+    # grand total: one global combine of the (tiny) finest table
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [df[c].sum()] for c in agg_cols})
+
+    total = finest.map_batches(
+        lambda df: df[agg_cols], batch_format="pandas"
+    ).repartition(1).map_batches(grand, batch_format="pandas")
+    levels.append(
+        total.map_batches(widen([]), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

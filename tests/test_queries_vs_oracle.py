@@ -93,7 +93,20 @@ SQL_CHECKED = [
     "sj_bigram_join",
     "a6_distinct_users_by_type",
     "j4_customers_no_urgent_order",
+    "a8_rollup_lineitem",
+    "cur_chunk_documents",
+    "hh_frequent_tokens",
+    "j5_bloom_semi_revenue",
+    "cur_zscore_by_type",
+    "rj_purchase_window",
+    "w5_running_sum",
+    "cur_train_split",
 ]
+
+
+def test_sql_checked_list_is_complete(entry_mod):
+    # every oracle-carrying query must be in the parity sweep above
+    assert set(SQL_CHECKED) == set(entry_mod.oracle_sql())
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -113,11 +126,30 @@ def test_all_oracle_entries_have_queries(entry_mod):
         assert name in qs, name
 
 
-def test_rows_only_queries_run(entry_mod):
-    # er_clusters (model-driven; self-gated on a committed golden partition
-    # inside the query) is the only rows-only entry; every other query is
-    # oracle-checked above.
-    assert set(entry_mod.queries()) - set(entry_mod.oracle_sql()) == {"er_clusters"}
+# Queries that are legitimately non-SQL-expressible and therefore carry no
+# oracle_sql() entry. Each self-gates inside its own query path instead:
+#   er_clusters              — model-driven; golden-partition F1 floor gate
+#   hll_distinct_users_by_type — probabilistic sketch; gated on exact distinct
+#   approx_quantiles_by_type — bottom-k sample; gated on exact-quantile bounds
+#   cur_pack_sequences       — greedy FFD packing; gated on capacity/coverage
+ROWS_ONLY = {
+    "er_clusters",
+    "hll_distinct_users_by_type",
+    "approx_quantiles_by_type",
+    "cur_pack_sequences",
+}
+
+
+def test_rows_only_set_is_exactly_the_documented_one(entry_mod):
+    assert set(entry_mod.queries()) - set(entry_mod.oracle_sql()) == ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY - {"er_clusters"}))
+def test_rows_only_queries_run(entry_mod, name):
+    # er_clusters is exercised (twice) by the scale-path parity test below;
+    # the cheap rows-only queries run here so their self-gates fire in CI.
+    out = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert len(out) > 0
 
 
 def test_force_scale_paths_env_knob_parity(entry_mod, monkeypatch):
