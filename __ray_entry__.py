@@ -8,12 +8,14 @@ plus the training-data operators (dedup / similarity / text analysis); each
 takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
 
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-(same column names, floats rounded identically on both sides). 23 of the 24
+(same column names, floats computed identically on both sides). All but five
 queries carry exact oracles — including MinHash-LSH (recursive-CTE Jaccard
 closure), SimHash (md5-replicable signatures), IVF (all-cells probe = exact
-recall) and language-ID (SQL replica generated from the same profile dict).
-Only ``er_clusters`` (a trained classifier) is rows-only, and it self-gates
-on a committed golden partition + pairwise-F1 floor (see _er_fixture_gate).
+recall), k-means assignment (list_distance argmin) and language-ID (SQL
+replica generated from the same profile dict). The five rows-only queries
+are genuinely non-SQL (trained classifier / probabilistic sketches / greedy
+packing / iterated k-means) and each SELF-GATES inside its query path — the
+documented set lives in tests/test_queries_vs_oracle.ROWS_ONLY.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -170,6 +172,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "knn_cosine_topk": _q_knn_cosine,
         "ann_ivf_topk": _q_ann_ivf,
+        # --- distributed k-means: seeded assignment step (exact SQL oracle) -
+        "km_assign_cells": _q_kmeans_assign,
+        # --- SemDeDup semantic near-dedup (iterated k-means → rows-only,
+        #     self-gated on an exact driver-side re-derivation) --------------
+        "semdedup_keep": _q_semdedup,
         # --- text analysis -------------------------------------------------
         "text_quality": _q_text_quality,
         "token_counts": _q_token_counts,
@@ -1048,6 +1055,65 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """One Lloyd assignment step with the deterministic seed centroids (the
+    vectors of the 8 smallest vec_ids — stages/kmeans seed init): centroids
+    broadcast once, argmin per batch in float64, ties to the lowest cell id.
+    Exactly replicable in SQL (list_distance + row_number), which oracle-gates
+    the distributed k-means machinery's assignment kernel and seed path."""
+    from entity_resolution__ray.stages.kmeans import _bottom_k_rows, kmeans_assign
+
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = _bottom_k_rows(emb, "vec_id", "embedding", k=8)
+    return kmeans_assign(emb, C)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic near-dedup (stages/kmeans.semdedup): distributed
+    k-means cells, then within-cell greedy cosine pruning (keep the lowest
+    id of any group with cosine ≥ threshold). The synthetic embeddings have
+    no true near-dups (max pair cosine ≈ 0.51), so the query runs at an
+    aggressive diversity-pruning threshold of 0.4 to exercise real drops.
+    Iterated k-means has no SQL analogue → rows-only; SELF-GATED here: the
+    kept/dropped partition is re-derived exactly by a driver-side reference
+    on the collected vectors (bounded — raises above the cap rather than
+    silently skipping)."""
+    from entity_resolution__ray.stages.kmeans import semdedup
+
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k, n_iters, threshold = 4, 3, 0.4
+    out = semdedup(emb, k=k, n_iters=n_iters, threshold=threshold).to_pandas()
+
+    n = len(out)
+    if n > 50_000:
+        raise AssertionError("semdedup self-gate is fixture-scale only; got %d rows" % n)
+    # ---- exact reference re-derivation (same cells, same greedy rule) -----
+    import pandas as pd
+
+    vec_df = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    X = np.stack(vec_df.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    ids = vec_df.sort_values("vec_id")["vec_id"].to_numpy()
+    got = out.sort_values("vec_id").reset_index(drop=True)
+    assert (got["vec_id"].to_numpy() == ids).all(), "row set drifted"
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    for cell, grp in got.groupby("cell"):
+        idx = grp.index.to_numpy()
+        S = Xn[idx] @ Xn[idx].T
+        kept: list = []
+        for j in range(len(idx)):
+            if kept and np.max(S[kept, j]) >= threshold:
+                want_keep = 0
+            else:
+                want_keep = 1
+                kept.append(j)
+            assert int(grp["keep"].iloc[j]) == want_keep, (
+                f"semdedup self-gate: cell {cell} row {ids[idx[j]]} keep mismatch"
+            )
+    return out
+
+
 def _q_text_quality(sf_dir: str):
     out = quality_score(_docs(sf_dir, columns=["doc_id", "text"]))
     return out.map_batches(
@@ -1591,6 +1657,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY qid ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC
             ) <= 10
+        """,
+        # seed centroids = vectors of the 8 smallest vec_ids, cell id = their
+        # ascending-vec_id rank (same as stages/kmeans._bottom_k_rows); one
+        # assignment step by squared L2, ties to the lowest cell id.
+        "km_assign_cells": """
+            WITH c AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            )
+            SELECT vec_id, cid AS cell FROM (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding, c.ce), c.cid
+                     ) AS rn
+              FROM embeddings e, c
+            ) WHERE rn = 1
         """,
         "text_quality": f"""
             WITH t AS (

@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "rj_purchase_window",
     "w5_running_sum",
     "cur_train_split",
+    "km_assign_cells",
 ]
 
 
@@ -132,11 +133,14 @@ def test_all_oracle_entries_have_queries(entry_mod):
 #   hll_distinct_users_by_type — probabilistic sketch; gated on exact distinct
 #   approx_quantiles_by_type — bottom-k sample; gated on exact-quantile bounds
 #   cur_pack_sequences       — greedy FFD packing; gated on capacity/coverage
+#   semdedup_keep            — iterated k-means cells; gated on an exact
+#                              driver-side re-derivation of the greedy prune
 ROWS_ONLY = {
     "er_clusters",
     "hll_distinct_users_by_type",
     "approx_quantiles_by_type",
     "cur_pack_sequences",
+    "semdedup_keep",
 }
 
 
