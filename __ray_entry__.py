@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_remove_boilerplate": _q_remove_boilerplate,
         # --- training-sequence packing (greedy FFD, no SQL analogue) --------
         "cur_pack_sequences": _q_pack_sequences,
+        # --- distributed BPE vocabulary training (iterative → rows-only,
+        #     self-gated on the single-process Sennrich reference) -----------
+        "bpe_vocab_merges": _q_bpe_vocab,
         # --- per-key z-score normalization (two-pass broadcast) -------------
         "cur_zscore_by_type": _q_zscore_by_type,
         # --- deterministic hash-based train/val/test split -------------------
@@ -871,6 +874,48 @@ def _q_chunk_documents(sf_dir: str):
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return chunk_documents(docs, chunk_words=32, stride_words=24)
+
+
+def _q_bpe_vocab(sf_dir: str):
+    """Distributed BPE vocabulary training (stages/bpe.bpe_train): the corpus
+    collapses to a distinct-word table once, then each merge round is a
+    bounded pair-count shuffle + vectorized merge application. Iterative →
+    no SQL oracle; SELF-GATED: the merge sequence must EQUAL the
+    single-process Sennrich reference run on independently-derived (DuckDB)
+    word counts — exact, not approximate. Gate is fixture-scale bounded and
+    raises (never skips) above the cap."""
+    import duckdb
+
+    from entity_resolution__ray.stages.bpe import bpe_train, bpe_train_reference
+
+    n_merges = 24
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=n_merges)
+
+    con = duckdb.connect()
+    wc = con.execute(
+        f"""
+        SELECT w AS word, count(*) AS c FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}')
+        ) GROUP BY w
+        """
+    ).fetchall()
+    if len(wc) > 200_000:
+        raise AssertionError("bpe self-gate is fixture-scale only; got %d words" % len(wc))
+    want = bpe_train_reference(dict(wc), n_merges=n_merges)
+    if merges != want:
+        raise AssertionError(
+            f"bpe_vocab_merges self-gate: distributed merges diverge from the "
+            f"Sennrich reference at rank {next(i for i, (g, w) in enumerate(zip(merges, want)) if g != w) if merges and want else 0}"
+        )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges]),
+            "right": pa.array([b for _, b in merges]),
+        }
+    )
 
 
 def _q_heavy_hitters(sf_dir: str):

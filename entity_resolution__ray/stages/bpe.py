@@ -1,0 +1,310 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training + encoding.
+
+Implements the published algorithm (Sennrich, Haddow & Birch 2016, "Neural
+Machine Translation of Rare Words with Subword Units"): reduce the corpus to
+a distinct-word frequency table once, then repeatedly (a) count adjacent
+symbol pairs weighted by word frequency, (b) merge the most frequent pair
+everywhere, leftmost-first and non-overlapping within each word. Words carry
+a trailing ``</w>`` end-of-word symbol as in the paper.
+
+Scale shape — the part that matters at 10^12 docs:
+
+  * The corpus is touched ONCE: word counting is a vectorized per-batch
+    combiner followed by one hash shuffle of (word, partial-count) rows.
+    Every merge iteration then runs over the DISTINCT-WORD table (bounded by
+    vocabulary, not corpus size), which is materialized and updated in place
+    each round — the iterative state is a Dataset checkpoint, not driver
+    memory.
+  * Pair counting per iteration is another combiner + tiny shuffle: each
+    batch pre-aggregates its (left, right) → weighted-count pairs, the
+    bucketed reduce emits ONE top candidate per bucket, and the driver picks
+    the global argmax from ≤ num_buckets rows (count desc, then lexicographic
+    pair asc — fully deterministic).
+  * Merge application is vectorized: symbols live flattened with word
+    offsets; candidate positions are a numpy mask; overlapping candidates in
+    a run (e.g. ``a a a`` under merge (a,a)) are resolved leftmost-first by
+    run-parity — no Python loop over words or positions.
+
+Merges are inherently sequential (merge t+1 depends on t) — the published
+algorithm's nature, not a parallelization gap; each round costs two bounded
+shuffles. ``bpe_encode`` applies a learned merge list to new text the same
+vectorized way (rank order, one pass per merge).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+END = "</w>"
+
+
+# ---------------------------------------------------------------------------
+# word counting (the only pass over the raw corpus)
+# ---------------------------------------------------------------------------
+def word_counts(ds: Dataset, text_col: str = "text", num_buckets: int = 32) -> Dataset:
+    """(word, count) over lowercased alnum tokens — per-batch combiner then
+    one hash shuffle of the pre-aggregated (word, partial) rows."""
+    from .blocking import bucketed_apply
+
+    def combiner(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col].combine_chunks(), "")
+        lowered = pc.utf8_lower(texts)
+        toks = pc.list_flatten(pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        codes, uniq = pd.factorize(toks.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq), "count": pa.array(cnt)})
+
+    partial = ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_words(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["count"].sum()
+
+    return bucketed_apply(partial, ["word"], reduce_words, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# vectorized merge kernels (shared by train + encode)
+# ---------------------------------------------------------------------------
+def _flatten(symbols_col) -> Tuple[np.ndarray, np.ndarray]:
+    """(flat object array of symbols, per-word lengths)."""
+    arr = symbols_col.combine_chunks() if isinstance(symbols_col, pa.ChunkedArray) else symbols_col
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return flat, lens
+
+
+def _leftmost_nonoverlap(cand_idx: np.ndarray) -> np.ndarray:
+    """Leftmost-first non-overlapping selection among candidate positions:
+    within each run of CONSECUTIVE indices, keep every other one."""
+    if len(cand_idx) == 0:
+        return cand_idx
+    breaks = np.ones(len(cand_idx), dtype=bool)
+    breaks[1:] = np.diff(cand_idx) != 1
+    run_id = np.cumsum(breaks) - 1
+    run_start = cand_idx[breaks][run_id]
+    return cand_idx[(cand_idx - run_start) % 2 == 0]
+
+
+def _apply_merge(flat: np.ndarray, lens: np.ndarray, a: str, b: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge every leftmost non-overlapping (a,b) occurrence (within-word
+    only). Returns the new (flat, lens)."""
+    n = len(flat)
+    if n < 2:
+        return flat, lens
+    word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    cand = (flat[:-1] == a) & (flat[1:] == b) & (word_id[:-1] == word_id[1:])
+    take = _leftmost_nonoverlap(np.flatnonzero(cand))
+    if len(take) == 0:
+        return flat, lens
+    out = flat.copy()
+    out[take] = a + b  # one precomputed string, broadcast
+    keep = np.ones(n, dtype=bool)
+    keep[take + 1] = False
+    new_lens = lens - np.bincount(word_id[take + 1], minlength=len(lens))
+    return out[keep], new_lens
+
+
+def _to_symbol_table(flat: np.ndarray, lens: np.ndarray, extra: dict) -> pa.Table:
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    col = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.string()))
+    return pa.table({**extra, "symbols": col})
+
+
+def _pair_partials(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: (left, right) → weighted count."""
+    flat, lens = _flatten(t["symbols"])
+    counts = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return pa.table({"left": pa.array([], pa.string()), "right": pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    valid = word_id[:-1] == word_id[1:]
+    li, ri = flat[:-1][valid], flat[1:][valid]
+    if len(li) == 0:
+        return pa.table({"left": pa.array([], pa.string()), "right": pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    w = counts[word_id[:-1][valid]]
+    key = pd.MultiIndex.from_arrays([li, ri])
+    codes, uniq = pd.factorize(key)
+    tot = np.bincount(codes, weights=w, minlength=len(uniq)).astype(np.int64)
+    return pa.table({
+        "left": pa.array(uniq.get_level_values(0).to_numpy(), pa.string()),
+        "right": pa.array(uniq.get_level_values(1).to_numpy(), pa.string()),
+        "count": pa.array(tot),
+    })
+
+
+def _bucket_top1(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["left", "right"], sort=False, as_index=False)["count"].sum()
+    g = g.sort_values(["count", "left", "right"], ascending=[False, True, True], kind="stable")
+    return g.head(1)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+def bpe_train(
+    ds: Dataset,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_count: int = 1,
+    num_buckets: int = 16,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus (module docstring).
+    Deterministic: ties broken by (count desc, left asc, right asc)."""
+    from .blocking import bucketed_apply
+
+    wc = word_counts(ds, text_col=text_col)
+    if min_count > 1:
+        wc = wc.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count"], min_count)),
+            batch_format="pyarrow",
+        )
+
+    def to_symbols(t: pa.Table) -> pa.Table:
+        words = t["word"].combine_chunks()
+        # chars of each word + trailing END marker (Sennrich formulation).
+        # words are [a-z0-9]+ (ASCII) so byte == char: one C-level list() of
+        # the joined buffer explodes every word at once.
+        py_words = words.to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.array(list("".join(py_words)), dtype=object)
+        n = len(lens)
+        new_lens = lens + 1
+        out = np.empty(int(new_lens.sum()), dtype=object)
+        pos = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=pos[1:])
+        src = np.ones(len(out), dtype=bool)
+        src[pos[1:] - 1] = False  # last slot of each word = END
+        out[src] = flat
+        out[~src] = END
+        return _to_symbol_table(out, new_lens, {"count": t["count"]})
+
+    table = wc.map_batches(to_symbols, batch_format="pyarrow").materialize()
+
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        partial = table.map_batches(_pair_partials, batch_format="pyarrow")
+        cands = bucketed_apply(
+            partial, ["left", "right"], _bucket_top1, num_buckets=num_buckets
+        ).to_pandas()
+        if cands.empty or int(cands["count"].max()) < 1:
+            break
+        cands = cands.sort_values(
+            ["count", "left", "right"], ascending=[False, True, True], kind="stable"
+        )
+        a, b = str(cands.iloc[0]["left"]), str(cands.iloc[0]["right"])
+        merges.append((a, b))
+
+        def apply_batch(t: pa.Table, a=a, b=b) -> pa.Table:
+            flat, lens = _flatten(t["symbols"])
+            flat, lens = _apply_merge(flat, lens, a, b)
+            return _to_symbol_table(flat, lens, {"count": t["count"]})
+
+        table = table.map_batches(apply_batch, batch_format="pyarrow").materialize()
+    return merges
+
+
+def bpe_train_reference(word_count: dict, n_merges: int) -> List[Tuple[str, str]]:
+    """Single-process Sennrich algorithm-1 reference (same tie-break) — the
+    executable spec the distributed trainer is gated against (tests carry an
+    independently-written copy as well)."""
+    from collections import Counter
+
+    vocab = {tuple(list(w) + [END]): c for w, c in word_count.items()}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        new: dict = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        vocab = new
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+def bpe_encode_words(words: List[str], merges: List[Tuple[str, str]]) -> List[List[str]]:
+    """Apply a learned merge list to words, vectorized across ALL words at
+    once (one `_apply_merge` pass per merge, in rank order)."""
+    if not words:
+        return []
+    flat = np.array([c for w in words for c in list(w) + [END]], dtype=object)
+    lens = np.array([len(w) + 1 for w in words], dtype=np.int64)
+    for a, b in merges:
+        flat, lens = _apply_merge(flat, lens, a, b)
+    out, pos = [], 0
+    for ln in lens:
+        out.append(list(flat[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def bpe_encode(
+    ds: Dataset,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Token count per document under the learned vocabulary — merges ride to
+    every task as one broadcast list; per-batch work is the same vectorized
+    merge kernel as training."""
+    import ray
+
+    mref = ray.put(list(merges))
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        mg = cached_get(mref)
+        texts = pc.fill_null(t[text_col].combine_chunks(), "")
+        lowered = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_id_per_word = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = flat_words != ""
+        flat_words, doc_id_per_word = flat_words[nonempty], doc_id_per_word[nonempty]
+        # symbol stream for all words in the batch: ASCII alnum words, so one
+        # C-level list() of the joined buffer explodes every char at once
+        clens = np.fromiter((len(w) for w in flat_words), dtype=np.int64, count=len(flat_words))
+        wlens = clens + 1
+        flat = np.empty(int(wlens.sum()), dtype=object)
+        pos = np.zeros(len(wlens) + 1, dtype=np.int64)
+        np.cumsum(wlens, out=pos[1:])
+        src = np.ones(len(flat), dtype=bool)
+        src[pos[1:] - 1] = False
+        flat[src] = np.array(list("".join(flat_words)), dtype=object) if len(flat_words) else []
+        flat[~src] = END
+        for a, b in mg:
+            flat, wlens = _apply_merge(flat, wlens, a, b)
+        tok_per_doc = np.bincount(doc_id_per_word, weights=wlens, minlength=len(lens)).astype(np.int64)
+        return pa.table({id_col: t[id_col], "bpe_token_count": pa.array(tok_per_doc)})
+
+    return ds.map_batches(encode_batch, batch_format="pyarrow", zero_copy_batch=True)

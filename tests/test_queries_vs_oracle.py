@@ -135,12 +135,15 @@ def test_all_oracle_entries_have_queries(entry_mod):
 #   cur_pack_sequences       — greedy FFD packing; gated on capacity/coverage
 #   semdedup_keep            — iterated k-means cells; gated on an exact
 #                              driver-side re-derivation of the greedy prune
+#   bpe_vocab_merges         — iterative BPE training; gated on exact merge-
+#                              sequence equality vs the Sennrich reference
 ROWS_ONLY = {
     "er_clusters",
     "hll_distinct_users_by_type",
     "approx_quantiles_by_type",
     "cur_pack_sequences",
     "semdedup_keep",
+    "bpe_vocab_merges",
 }
 
 
