@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_canonical_docs": _q_canonical_docs,
         "cur_lang_rollup": _q_lang_rollup,
         "cur_decontaminate": _q_decontaminate,
+        # --- DSIR hashed n-gram importance weighting (exact SQL oracle) -----
+        "cur_dsir_scores": _q_dsir_scores,
         "cur_redact_pii": _q_redact_pii,
         "cur_quality_gopher": _q_quality_gopher,
         "cur_remove_boilerplate": _q_remove_boilerplate,
@@ -507,6 +509,25 @@ def _q_decontaminate(sf_dir: str):
     )
     grams = collect_benchmark_grams(bench, n=3)
     return decontaminate(docs, grams, n=3).select_columns(["doc_id", "contaminated"])
+
+
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance weighting (stages/dsir.dsir_weights): target = the
+    deterministic benchmark subset (doc_id % 50 == 0, as in cur_decontaminate),
+    source = the corpus; unigram+bigram features hashed into 8191 md5-prefix
+    buckets; per-bucket log-ratios INTEGER-quantized (floor log2) so the
+    per-doc sums are order-independent and the SQL oracle matches exactly
+    (see stages/dsir.py on the quantization trade-off)."""
+    from entity_resolution__ray.stages.dsir import dsir_weights
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    target = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return dsir_weights(docs, target, n_buckets=8191, quantize=True)
 
 
 def _q_redact_pii(sf_dir: str):
@@ -1593,6 +1614,46 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        # same featurization as stages/dsir.py: lowercase alnum unigrams +
+        # adjacent bigrams, md5-prefix buckets mod 8191, integer-quantized
+        # floor-log2 ratios (order-independent sums → exact hash parity)
+        "cur_dsir_scores": """
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            u AS (SELECT doc_id, unnest(t) AS f FROM d),
+            bgidx AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 1, 1)) AS i
+              FROM d WHERE len(t) >= 2
+            ),
+            b2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS f FROM bgidx),
+            feats AS (SELECT doc_id, f FROM u UNION ALL SELECT doc_id, f FROM b2),
+            fb AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 8191 AS b
+              FROM feats
+            ),
+            tgt AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 50 = 0 GROUP BY b),
+            src AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+            tot AS (
+              SELECT CAST(floor(log2((SELECT count(*) FROM fb) + 8191)) AS BIGINT) AS fns,
+                     CAST(floor(log2((SELECT count(*) FROM fb WHERE doc_id % 50 = 0) + 8191)) AS BIGINT) AS fnt
+            ),
+            lam AS (
+              SELECT s.b,
+                     CAST(floor(log2(coalesce(t.c, 0) + 1))
+                          - floor(log2(s.c + 1)) AS BIGINT)
+                       + (SELECT fns - fnt FROM tot) AS l
+              FROM src s LEFT JOIN tgt t ON s.b = t.b
+            ),
+            per_doc AS (
+              SELECT fb.doc_id, sum(l.l) AS s FROM fb JOIN lam l ON fb.b = l.b
+              GROUP BY fb.doc_id
+            )
+            SELECT doc.doc_id, CAST(coalesce(p.s, 0) AS BIGINT) AS dsir_score
+            FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
         """,
         # same word grid as stages/chunking.chunk_batch: whitespace split of
         # trim(text), starts = generate_series(1, n_words, 24), 32-word

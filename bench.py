@@ -107,6 +107,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "w4_hopping_window",    # k-fold window explode + pre-shuffle partial agg (round 4)
         "rj_purchase_window",   # distributed interval join (bin-replicated, lex-rank merge)
         "hh_frequent_tokens",   # Misra-Gries sketch + exact recheck heavy hitters
+        "a8_rollup_lineitem",   # ROLLUP grouping-sets cascade (round 4)
+        "cur_chunk_documents",  # overlapping word-window chunking (round 4)
+        "semdedup_keep",        # k-means cells + within-cell cosine prune (round 4)
+        "bpe_vocab_merges",     # distributed BPE training, 24 merge rounds (round 4)
+        "cur_dsir_scores",      # DSIR hashed n-gram importance weights (round 4)
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "w5_running_sum",
     "cur_train_split",
     "km_assign_cells",
+    "cur_dsir_scores",
 ]
 
 
