@@ -88,9 +88,12 @@ def rollup_aggregate(
     def combine(df: pd.DataFrame, level_keys: list) -> pd.DataFrame:
         return df.groupby(level_keys, dropna=False, sort=False)[agg_cols].sum().reset_index()
 
+    # finest feeds every coarser level AND its own widen — materialize the
+    # (key-domain-bounded, tiny) table once so the raw-row pass and its
+    # shuffle don't lazily re-execute per consumer
     finest = bucketed_apply(
         partial, keys, lambda df: combine(df, keys), num_buckets=num_buckets
-    )
+    ).materialize()
 
     def widen(level_keys: list):
         """Null-fill the rolled-up key columns so every level unions cleanly."""
