@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # --- exact substring dedup (rolling-hash windows, content-defined) --
+        "dedup_substring": _q_substring_pairs,
         # --- exact set-similarity self-join (prefix filter, PPJoin-style) --
         "sj_bigram_join": _q_set_similarity_join,
         # embedding near-dup has no queries() entry ON PURPOSE: hyperplane-LSH
@@ -1023,6 +1025,19 @@ def _q_bloom_semi_revenue(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _q_substring_pairs(sf_dir: str):
+    """Exact substring dedup (stages/substring_dedup.substring_dup_pairs):
+    doc pairs sharing any 32-byte run, via vectorized rolling-hash window
+    fingerprints (mod_p=1: every window, so the result equals true substring
+    equality up to 64-bit collisions) and the LSH-style capped bucket pair
+    emission. The oracle computes the same pairs by direct substring
+    equality; the corpus is ASCII so byte and char windows coincide."""
+    from entity_resolution__ray.stages.substring_dedup import substring_dup_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return substring_dup_pairs(docs, window=32, mod_p=1, max_group_size=100_000)
+
+
 def _q_set_similarity_join(sf_dir: str):
     """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
     (stages/setsim.set_similarity_join): prefix-filter candidates (complete
@@ -1614,6 +1629,24 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        # true substring equality over every 32-char window (ASCII corpus →
+        # identical to the engine's 32-byte windows); the engine's rolling
+        # hash is exact up to 64-bit collisions
+        "dedup_substring": """
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS b FROM documents
+              WHERE length(coalesce(text, '')) >= 32
+            ),
+            wins AS (
+              SELECT doc_id, substring(b, gs, 32) AS win
+              FROM (SELECT doc_id, b,
+                           unnest(generate_series(1, length(b) - 31, 1)) AS gs
+                    FROM d)
+            ),
+            dw AS (SELECT DISTINCT doc_id, win FROM wins)
+            SELECT DISTINCT a.doc_id AS id_left, c.doc_id AS id_right
+            FROM dw a JOIN dw c ON a.win = c.win AND a.doc_id < c.doc_id
         """,
         # same featurization as stages/dsir.py: lowercase alnum unigrams +
         # adjacent bigrams, md5-prefix buckets mod 8191, integer-quantized

@@ -112,6 +112,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "semdedup_keep",        # k-means cells + within-cell cosine prune (round 4)
         "bpe_vocab_merges",     # distributed BPE training, 24 merge rounds (round 4)
         "cur_dsir_scores",      # DSIR hashed n-gram importance weights (round 4)
+        "dedup_substring",      # exact substring dedup, rolling-hash windows (round 4)
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -1,0 +1,139 @@
+"""Exact substring deduplication: find document pairs sharing a long exact
+byte run (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better" — the ExactSubstr criterion, here at window granularity over a
+document table rather than a global suffix array, which does not distribute).
+
+  * window_fingerprints — every length-``window`` byte window of every doc,
+    as a 64-bit polynomial rolling hash. Fully vectorized from the Arrow
+    string buffers (zero copy: the batch's concatenated UTF-8 bytes + int64
+    offsets), one cumprod/cumsum pass per batch — no per-row or per-window
+    Python. With ``mod_p > 1`` only windows whose hash ≡ 0 (mod p) are
+    emitted — CONTENT-DEFINED sampling, so a run shared by two docs selects
+    the SAME windows in both (unlike stride sampling, which loses the
+    guarantee to alignment): a shared run containing m windows survives with
+    p(miss) = (1-1/p)^m, and the emitted volume drops to total_bytes/p — the
+    10^12-doc knob.
+  * substring_dup_pairs — distinct (id_left, id_right) doc pairs sharing at
+    least one emitted window, via the same capped bucket-group pair emission
+    as the LSH dedup (giant groups — boilerplate windows — fall back to star
+    spokes with a logged count; exact triu otherwise).
+
+Hash collisions (64-bit, content-defined) can in principle create a false
+pair at ~n²/2⁶⁴ odds — the same class of accepted risk as the md5 devices
+elsewhere in the engine; the sf-scale oracle compares against true substring
+equality and passes. Windows are BYTE-indexed (the Arrow buffer); for ASCII
+corpora (the test tables) byte and character windows coincide.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+_B = np.uint64(1099511628211)  # FNV-64 prime (odd → invertible mod 2^64)
+_BINV = np.uint64(pow(1099511628211, -1, 2**64))
+
+
+def _utf8_buffers(col) -> Tuple[np.ndarray, np.ndarray]:
+    """(bytes, int64 offsets) of a string column, zero-copy from Arrow."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.cast(pc.fill_null(arr, ""), pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    )
+    return data, off
+
+
+def _excl_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x), dtype=np.int64)
+    np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def _window_hashes(data: np.ndarray, off: np.ndarray, window: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(doc_index, uint64 hash) for every in-doc window start. One cumsum +
+    two cumprods over the batch's byte buffer; H(i) = Σ c[i+k]·B^(w-1-k)
+    computed as (S[i+w]-S[i])·B^(i+w-1) with S[t] = Σ_{u<t} c[u]·B^{-u}
+    (all arithmetic wraps mod 2^64)."""
+    n = len(data)
+    doc_len = np.diff(off)
+    m = np.maximum(doc_len - window + 1, 0)  # windows per doc
+    total = int(m.sum())
+    if total == 0 or n < window:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    c = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pwinv = np.concatenate([[np.uint64(1)], np.cumprod(np.full(n - 1, _BINV, np.uint64))])
+        pwb = np.concatenate([[np.uint64(1)], np.cumprod(np.full(n - 1, _B, np.uint64))])
+        S = np.concatenate([[np.uint64(0)], np.cumsum(c * pwinv)])
+        doc_idx = np.repeat(np.arange(len(m), dtype=np.int64), m)
+        starts = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(_excl_cumsum(m), m)
+            + np.repeat(off[:-1], m)
+        )
+        h = (S[starts + window] - S[starts]) * pwb[starts + window - 1]
+    return doc_idx, h
+
+
+def window_fingerprints(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    mod_p: int = 1,
+) -> Dataset:
+    """(band_key, doc_id) — the distinct window hashes of every doc."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if mod_p < 1:
+        raise ValueError("mod_p must be >= 1")
+
+    def emit(t: pa.Table) -> pa.Table:
+        data, off = _utf8_buffers(t[text_col])
+        doc_idx, h = _window_hashes(data, off, window)
+        if mod_p > 1 and len(h):
+            keep = h % np.uint64(mod_p) == 0
+            doc_idx, h = doc_idx[keep], h[keep]
+        if len(h) == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], t.schema.field(id_col).type)})
+        hi = h.view(np.int64)
+        order = np.lexsort((hi, doc_idx))
+        doc_idx, hi = doc_idx[order], hi[order]
+        first = np.ones(len(hi), dtype=bool)
+        first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({
+            "band_key": pa.array(hi[first]),
+            id_col: t[id_col].combine_chunks().take(pa.array(doc_idx[first])),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def substring_dup_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    mod_p: int = 1,
+    max_group_size: int = 256,
+) -> Dataset:
+    """Distinct doc pairs sharing ≥1 emitted window (module docstring)."""
+    from .dedup import _pairs_from_band_groups
+
+    keys = window_fingerprints(
+        ds, text_col=text_col, id_col=id_col, window=window, mod_p=mod_p
+    )
+    if id_col != "doc_id":
+        keys = keys.map_batches(
+            lambda t: t.rename_columns(["band_key", "doc_id"]), batch_format="pyarrow"
+        )
+    return _pairs_from_band_groups(keys, max_group_size=max_group_size)

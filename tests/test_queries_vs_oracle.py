@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "cur_train_split",
     "km_assign_cells",
     "cur_dsir_scores",
+    "dedup_substring",
 ]
 
 
