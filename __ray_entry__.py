@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---------------------------------------------
         "knn_cosine_topk": _q_knn_cosine,
         "ann_ivf_topk": _q_ann_ivf,
+        # --- multimodal: real PPM decode → integer pixel stats (exact oracle)
+        "mm_image_pixel_stats": _q_image_pixel_stats,
         # --- distributed k-means: seeded assignment step (exact SQL oracle) -
         "km_assign_cells": _q_kmeans_assign,
         # --- SemDeDup semantic near-dedup (iterated k-means → rows-only,
@@ -1136,6 +1138,32 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_image_pixel_stats(sf_dir: str):
+    """Multimodal decode path through the driver contract: every doc gets a
+    REAL PPM(P6) image payload whose pixels come from a closed-form formula
+    of doc_id — pixel(y,x,c) = (doc_id·7 + y·31 + x·13 + c·5) mod 256, with
+    w = 4 + doc_id mod 5, h = 3 + doc_id mod 4 — encoded by the from-scratch
+    codec, then decoded back by stages/multimodal.image_pixel_stats. The
+    DuckDB oracle recomputes width/height/pixel_sum symbolically from the
+    same formula, so the encode→decode→stats path is hash-gated end to end."""
+    from entity_resolution__ray.stages.multimodal import encode_ppm, image_pixel_stats
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in dids:
+            w, h = int(4 + d % 5), int(3 + d % 4)
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            px = ((int(d) * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.uint8)
+            payloads.append(encode_ppm(px))
+        return pa.table({"doc_id": t["doc_id"], "payload": pa.array(payloads, pa.binary())})
+
+    media = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return image_pixel_stats(media, id_col="doc_id")
+
+
 def _q_kmeans_assign(sf_dir: str):
     """One Lloyd assignment step with the deterministic seed centroids (the
     vectors of the 8 smallest vec_ids — stages/kmeans seed init): centroids
@@ -1796,6 +1824,25 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY qid ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id ASC
             ) <= 10
+        """,
+        # symbolic replica of the _q_image_pixel_stats pixel formula — gates
+        # the PPM encode→decode→stats path byte-for-byte
+        "mm_image_pixel_stats": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+            ),
+            ys AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1, 1)) AS y FROM d),
+            xs AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1, 1)) AS x FROM ys),
+            px AS (
+              SELECT doc_id, w, h,
+                     (doc_id * 7 + y * 31 + x * 13) % 256
+                     + (doc_id * 7 + y * 31 + x * 13 + 5) % 256
+                     + (doc_id * 7 + y * 31 + x * 13 + 10) % 256 AS s
+              FROM xs
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(sum(s) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY doc_id, w, h
         """,
         # seed centroids = vectors of the 8 smallest vec_ids, cell id = their
         # ascending-vec_id rank (same as stages/kmeans._bottom_k_rows); one

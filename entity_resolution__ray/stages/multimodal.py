@@ -318,6 +318,53 @@ def decode_media(
     )
 
 
+def image_pixel_stats(
+    media: Dataset,
+    id_col: str = "media_id",
+    batch_size: int = 64,
+) -> Dataset:
+    """Decode PPM(P6)/BMP images and emit INTEGER-EXACT per-image stats —
+    (id, width, height, pixel_sum) with pixel_sum = Σ of all channel bytes
+    as int64. Integer stats are what makes the media-decode path
+    oracle-checkable end to end (float mean/std features are not exactly
+    replicable in SQL): the ``mm_image_pixel_stats`` driver query feeds this
+    stage payloads generated from a closed-form formula and the DuckDB
+    oracle recomputes the same sums symbolically, so a single wrong byte
+    anywhere in header parsing, row padding or pixel layout fails the hash
+    compare. Decode is per-payload inside the batch fn (codecs parse one
+    header at a time — the honest shape for real decoders); small
+    ``batch_size`` for wide binary rows per the module scale notes."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        w, h, s = [], [], []
+        for p in batch["payload"].to_pylist():
+            if p and p.startswith(b"P6"):
+                arr = decode_ppm(p)
+            elif p and p.startswith(b"BM"):
+                arr = decode_bmp(p)
+            else:
+                raise NotImplementedError(
+                    "image_pixel_stats: PPM(P6)/BMP payloads only in this "
+                    "container (PNG/JPEG need PIL — wire here when available)"
+                )
+            h.append(arr.shape[0])
+            w.append(arr.shape[1])
+            s.append(int(arr.astype(np.int64).sum()))
+        return pa.table(
+            {
+                id_col: ids,
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "pixel_sum": pa.array(s, pa.int64()),
+            }
+        )
+
+    return media.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
 class ResizeImageStub:
     """Image resize stage: REAL pixel work for PPM(P6) payloads (pure-numpy
     nearest-neighbor, payload re-encoded); other encodings pass through with

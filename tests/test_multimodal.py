@@ -1,6 +1,7 @@
 """Tests for multimodal plumbing (decode stubbed, Ray-side shape real)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -178,3 +179,41 @@ def test_resize_stage_rewrites_image_payloads(ray_session):
             assert dec(p).shape == (7, 10, 3)
     assert magics == {b"P6", b"BM"}  # both codecs exercised
     assert set(out["width"].to_pylist()) == {10}
+
+
+def test_image_pixel_stats_exact(ray_session):
+    import ray.data as rd
+
+    from entity_resolution__ray.stages.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_pixel_stats,
+    )
+
+    rng = np.random.RandomState(17)
+    imgs = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for h, w in [(3, 4), (8, 5), (1, 1), (6, 6)]]
+    payloads = [encode_ppm(a) if i % 2 == 0 else encode_bmp(a) for i, a in enumerate(imgs)]
+    media = rd.from_arrow(pa.table({
+        "media_id": [f"m{i}" for i in range(len(imgs))],
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    out = image_pixel_stats(media).to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i, a in enumerate(imgs):
+        assert out.loc[i, "height"] == a.shape[0]
+        assert out.loc[i, "width"] == a.shape[1]
+        assert out.loc[i, "pixel_sum"] == int(a.astype(np.int64).sum())
+
+
+def test_image_pixel_stats_rejects_unknown_encoding(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from ray.exceptions import RayTaskError
+
+    from entity_resolution__ray.stages.multimodal import image_pixel_stats
+
+    media = rd.from_arrow(pa.table({
+        "media_id": ["m0"], "payload": pa.array([b"\x89PNG...."], pa.binary()),
+    }))
+    with _pytest.raises((NotImplementedError, RayTaskError)):
+        image_pixel_stats(media).materialize()

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "km_assign_cells",
     "cur_dsir_scores",
     "dedup_substring",
+    "mm_image_pixel_stats",
 ]
 
 
