@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w3_asof_join": _q_asof_join,
         "w4_hopping_window": _q_hopping_window,
         "w5_running_sum": _q_running_sum,
+        # --- ordered per-key aggregation + equal-frequency tiles -------------
+        "w6_user_event_seq": _q_user_event_seq,
+        "w7_value_quartile": _q_value_quartile,
         # --- distributed interval (range) join ------------------------------
         "rj_purchase_window": _q_interval_join,
         # --- mergeable-sketch approximate distinct (self-gated, no SQL oracle)
@@ -740,6 +743,26 @@ def _q_running_sum(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def _q_user_event_seq(sf_dir: str):
+    """Per-user time-ordered event-type sequence (curation.grouped_sequence)
+    — the string_agg(ORDER BY) window shape that turns an event log into
+    behavior strings for sequence training."""
+    from entity_resolution__ray.stages.curation import grouped_sequence
+
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    return grouped_sequence(ev, "user_id", "event_type", ["ts", "event_id"])
+
+
+def _q_value_quartile(sf_dir: str):
+    """NTILE(4) per event_type over value (curation.grouped_ntile): one key
+    shuffle, closed-form vectorized tile assignment with SQL's remainder
+    rule."""
+    from entity_resolution__ray.stages.curation import grouped_ntile
+
+    ev = _t(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    return grouped_ntile(ev, "event_type", "value", n=4, id_col="event_id")
 
 
 def _q_interval_join(sf_dir: str):
@@ -1608,6 +1631,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS window_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "w6_user_event_seq": """
+            SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+                   count(*) AS n_items
+            FROM events GROUP BY user_id
+        """,
+        "w7_value_quartile": """
+            SELECT event_type, event_id, value,
+                   CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS tile
+            FROM events
         """,
         "a6_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

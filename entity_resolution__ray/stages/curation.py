@@ -457,3 +457,63 @@ def train_split(
             "split", pa.array([names[i] for i in idx], type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_sequence(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    order_cols: list,
+    sep: str = ">",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-key ORDERED concatenation of ``value_col`` (the
+    ``string_agg(... ORDER BY ...)`` window shape) — e.g. a user's
+    time-ordered event-type sequence, the "behavior string" construction
+    that turns an event log into training sequences. One hash shuffle on the
+    key; the per-bucket sort+join is vectorized pandas. Output:
+    (key, seq, n_items)."""
+    from .blocking import bucketed_apply
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + list(order_cols), kind="mergesort")
+        gb = g.groupby(key_col, sort=False)
+        out = gb[value_col].agg(sep.join).reset_index()
+        out.columns = [key_col, "seq"]
+        out["n_items"] = gb.size().values
+        return out
+
+    return bucketed_apply(ds, [key_col], agg, num_buckets=num_buckets)
+
+
+def grouped_ntile(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    n: int,
+    id_col: str,
+    num_buckets: int = 64,
+) -> Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY value, id)`` — per-key
+    equal-frequency tiles with the standard remainder rule (the first
+    ``count mod n`` tiles get one extra row). One hash shuffle on the key;
+    tile assignment is a closed-form vectorized expression of the in-key
+    rank, no per-row loop."""
+    from .blocking import bucketed_apply
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col, id_col], kind="mergesort")
+        m = g.groupby(key_col, sort=False)[id_col].transform("size").to_numpy()
+        rank = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        q, r = m // n, m % n
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = np.where(
+            rank < big,
+            rank // np.maximum(q + 1, 1),
+            r + (rank - big) // np.maximum(q, 1),
+        ).astype(np.int64) + 1
+        out = g[[key_col, id_col, value_col]].copy()
+        out["tile"] = tile
+        return out
+
+    return bucketed_apply(ds, [key_col], tiles, num_buckets=num_buckets)

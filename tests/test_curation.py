@@ -208,3 +208,47 @@ def test_train_split_deterministic_and_growth_stable(ray_session):
     want = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
     got = out.sort_values("doc_id")["split"].to_numpy()
     assert (got == want).all()
+
+
+def test_grouped_sequence_ordered_concat(ray_session):
+    from entity_resolution__ray.stages.curation import grouped_sequence
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "ord1": [3, 1, 2, 5, 5],
+        "oid": [30, 10, 20, 2, 1],   # tie on ord1=5 broken by oid
+        "v": ["z", "x", "y", "q", "p"],
+    })
+    out = (
+        grouped_sequence(rd.from_arrow(t).repartition(3), "k", "v", ["ord1", "oid"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["seq"].tolist() == ["x>y>z", "p>q"]
+    assert out["n_items"].tolist() == [3, 2]
+
+
+def test_grouped_ntile_matches_sql_remainder_rule(ray_session):
+    import duckdb
+
+    from entity_resolution__ray.stages.curation import grouped_ntile
+
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "k": rng.choice(["a", "b", "c"], size=101).tolist(),  # odd sizes → remainders
+        "eid": list(range(101)),
+        "v": rng.normal(size=101).round(6).tolist(),
+    })
+    out = (
+        grouped_ntile(rd.from_arrow(t).repartition(4), "k", "v", n=4, id_col="eid")
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT eid, NTILE(4) OVER (PARTITION BY k ORDER BY v, eid) AS tile FROM t ORDER BY eid"
+    ).fetchdf()
+    assert out["tile"].astype("int64").tolist() == want["tile"].astype("int64").tolist()
+    # tiny key (fewer rows than tiles): each row its own tile
+    s = pa.table({"k": ["z", "z"], "eid": [1, 2], "v": [2.0, 1.0]})
+    small = grouped_ntile(rd.from_arrow(s), "k", "v", n=4, id_col="eid").to_pandas()
+    assert sorted(zip(small["eid"], small["tile"])) == [(1, 2), (2, 1)]

@@ -105,6 +105,8 @@ SQL_CHECKED = [
     "cur_dsir_scores",
     "dedup_substring",
     "mm_image_pixel_stats",
+    "w6_user_event_seq",
+    "w7_value_quartile",
 ]
 
 
