@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a6_distinct_users_by_type": _q_distinct_users_by_type,
         # --- ROLLUP grouping sets (pre-aggregated shuffle cascade) ----------
         "a8_rollup_lineitem": _q_rollup_lineitem,
+        # --- PIVOT (explicit column domain, single-pass partials) -----------
+        "a9_pivot_lineitem": _q_pivot_lineitem,
         # --- distributed anti-join (J4 at scale) ----------------------------
         "j4_customers_no_urgent_order": _q_customers_no_urgent_order,
         # --- canonical pairs + candidate generation (M10/J2) ---------------
@@ -372,6 +374,27 @@ def _q_rollup_lineitem(sf_dir: str):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_pivot_lineitem(sf_dir: str):
+    """PIVOT quantity by linestatus (stages/rollup.pivot_sum): one vectorized
+    partial per batch over the fact rows, one tiny row-key reduce; explicit
+    column domain ('F','O') — the distributed-pivot contract."""
+    from entity_resolution__ray.stages.rollup import pivot_sum
+
+    li = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    prep = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pivot_sum(prep, "l_returnflag", "l_linestatus", "qty", ["F", "O"])
 
 
 def _first_token_keys(t: pa.Table) -> pa.Table:
@@ -1541,6 +1564,15 @@ def oracle_sql() -> dict[str, str]:
                      / 10000.0 AS revenue,
                    count(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "a9_pivot_lineitem": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_F,
+                   sum(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_O,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "j2_block_candidates": """
             WITH keyed AS (

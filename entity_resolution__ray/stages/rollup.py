@@ -135,3 +135,41 @@ def rollup_aggregate(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def pivot_sum(
+    ds: Dataset,
+    row_key: str,
+    col_key: str,
+    value_col: str,
+    col_values: Sequence,
+    count_col: str = "n_rows",
+    num_buckets: int = 16,
+) -> Dataset:
+    """PIVOT: one output row per ``row_key``, one int64 sum column per value
+    of ``col_key`` (named ``{value_col}_{v}``), plus a row count. The column
+    domain is EXPLICIT (``col_values``) — the honest contract for a
+    distributed pivot, since a dynamic domain needs its own pass; values
+    outside the list are ignored. Same shape as rollup_aggregate: vectorized
+    finest partial per batch, one tiny (row_key) reduce — the fact rows are
+    touched once and never re-shuffled."""
+    vals = list(col_values)
+    out_cols = [f"{value_col}_{v}" for v in vals]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(row_key, sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        for v, oc in zip(vals, out_cols):
+            out[oc] = df[df[col_key] == v].groupby(row_key, sort=False)[value_col].sum()
+        out[count_col] = g.size()
+        return out.fillna(0).astype({c: "int64" for c in out_cols + [count_col]}).reset_index()
+
+    from .blocking import bucketed_apply
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_apply(
+        partials,
+        [row_key],
+        lambda df: df.groupby(row_key, sort=False, as_index=False)[out_cols + [count_col]].sum(),
+        num_buckets=num_buckets,
+    )

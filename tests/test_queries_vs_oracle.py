@@ -107,6 +107,7 @@ SQL_CHECKED = [
     "mm_image_pixel_stats",
     "w6_user_event_seq",
     "w7_value_quartile",
+    "a9_pivot_lineitem",
 ]
 
 

@@ -67,3 +67,19 @@ def test_rollup_single_key(ray_session, sample_df):
 def test_rollup_requires_keys(ray_session, sample_df):
     with pytest.raises(ValueError):
         rollup_aggregate(rd.from_pandas(sample_df), [], ["m1"])
+
+
+def test_pivot_sum_matches_pandas(ray_session, sample_df):
+    from entity_resolution__ray.stages.rollup import pivot_sum
+
+    ds = rd.from_pandas(sample_df).repartition(6)
+    out = (
+        pivot_sum(ds, "k1", "k2", "m1", ["x", "y", "missing"])
+        .to_pandas().sort_values("k1").reset_index(drop=True)
+    )
+    for k1, grp in sample_df.groupby("k1"):
+        row = out[out["k1"] == k1].iloc[0]
+        assert row["m1_x"] == grp.loc[grp["k2"] == "x", "m1"].sum()
+        assert row["m1_y"] == grp.loc[grp["k2"] == "y", "m1"].sum()
+        assert row["m1_missing"] == 0  # absent domain value → all-zero column
+        assert row["n_rows"] == len(grp)
