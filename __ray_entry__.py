@@ -1083,7 +1083,7 @@ def _q_substring_pairs(sf_dir: str):
     from entity_resolution__ray.stages.substring_dedup import substring_dup_pairs
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    return substring_dup_pairs(docs, window=32, mod_p=1, max_group_size=100_000)
+    return substring_dup_pairs(docs, window=32, mod_p=1)  # default = full pair set
 
 
 def _q_set_similarity_join(sf_dir: str):
@@ -1831,11 +1831,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS id, string_split(text, ' ') AS ws
               FROM documents WHERE trim(text) <> ''
             ), tok AS (
+              -- positions via unnest(generate_series) — no document-length
+              -- cap (a fixed range(1, N) silently truncated 512+-word docs)
               SELECT DISTINCT id,
                      CASE WHEN len(ws) < 2 THEN ws[CAST(i AS INT)]
                           ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] END AS w
-              FROM w, range(1, 512) r(i)
-              WHERE i <= CASE WHEN len(ws) < 2 THEN len(ws) ELSE len(ws) - 1 END
+              FROM (
+                SELECT id, ws,
+                       unnest(generate_series(
+                         1, CASE WHEN len(ws) < 2 THEN len(ws) ELSE len(ws) - 1 END, 1
+                       )) AS i
+                FROM w
+              )
             ), sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
             inter AS (
               SELECT a.id AS id_left, b.id AS id_right, count(*) AS i
@@ -1863,6 +1870,10 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.99) AS q99
             FROM documents GROUP BY lang
         """,
+        # explicit-window formulation rather than ASOF JOIN: with duplicate
+        # right timestamps per key, ASOF's pick among ties is unspecified on
+        # both engines — this pins the engine's deterministic rule (max ts,
+        # then max event_id)
         "w3_asof_join": """
             WITH l AS (
               SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
@@ -1871,12 +1882,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
               FROM events WHERE event_type = 'view'
             )
-            SELECT l.event_id, l.user_id, l.ts_us, l.value,
-                   coalesce(r.event_id, -1) AS prior_event_id,
-                   coalesce(r.ts_us, -1) AS prior_ts_us,
-                   coalesce(r.value, -1.0) AS prior_value
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+            SELECT event_id, user_id, ts_us, value,
+                   prior_event_id, prior_ts_us, prior_value
+            FROM (
+              SELECT l.event_id, l.user_id, l.ts_us, l.value,
+                     coalesce(r.event_id, -1) AS prior_event_id,
+                     coalesce(r.ts_us, -1) AS prior_ts_us,
+                     coalesce(r.value, -1.0) AS prior_value,
+                     row_number() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts_us DESC NULLS LAST, r.event_id DESC NULLS LAST
+                     ) AS rn
+              FROM l LEFT JOIN r
+                ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+            ) WHERE rn = 1
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

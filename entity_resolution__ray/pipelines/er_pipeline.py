@@ -470,8 +470,13 @@ def evaluate_pairwise_f1(
     instead of OOM-ing when a caller points it at a corpus-scale run (same
     gate pattern as graph_viz.louvain_communities); compute TP/FP via a
     distributed join on (id_left, id_right) at that scale instead."""
-    n_cand = candidate_pairs_ds.count()
-    n_edges = edges.count()
+    # prune + materialize each input ONCE: counting a lazy dataset and then
+    # collecting it re-executes its whole upstream plan (and per-column
+    # take_all loops multiply that again)
+    cand_mat = candidate_pairs_ds.select_columns(["id_left", "id_right"]).materialize()
+    edges_mat = edges.select_columns(["id_left", "id_right", "pred_match"]).materialize()
+    n_cand = cand_mat.count()
+    n_edges = edges_mat.count()
     if n_cand > max_driver_pairs or n_edges > max_driver_pairs:
         raise ValueError(
             f"evaluate_pairwise_f1 collects pairs on the driver; got "
@@ -479,16 +484,9 @@ def evaluate_pairwise_f1(
             f"{max_driver_pairs}. Evaluate on a sampled fixture, or raise "
             f"max_driver_pairs explicitly if the driver has the memory."
         )
-    cand = {
-        (l, r)
-        for l, r in zip(
-            *(map(lambda c: [row[c] for row in candidate_pairs_ds.select_columns([c]).take_all()],
-                  ("id_left", "id_right")))
-        )
-    }
+    cand = {(r["id_left"], r["id_right"]) for r in cand_mat.take_all()}
     pred = {
-        (r["id_left"], r["id_right"]): r["pred_match"]
-        for r in edges.select_columns(["id_left", "id_right", "pred_match"]).take_all()
+        (r["id_left"], r["id_right"]): r["pred_match"] for r in edges_mat.take_all()
     }
     tp = fp = fn = tn = 0
     for l, r, lab in zip(

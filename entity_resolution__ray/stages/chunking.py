@@ -33,11 +33,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-
-def _excl_cumsum(x: np.ndarray) -> np.ndarray:
-    out = np.zeros(len(x), dtype=np.int64)
-    np.cumsum(x[:-1], out=out[1:])
-    return out
+from ..functions.arrays import excl_cumsum
 
 
 def chunk_batch(
@@ -59,13 +55,13 @@ def chunk_batch(
 
     n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(words)
-    doc_off = _excl_cumsum(n_words)  # start of each doc's words in `flat`
+    doc_off = excl_cumsum(n_words)  # start of each doc's words in `flat`
 
     # chunks per doc = ceil(n_words / stride)  (starts 0, s, 2s, … < n_words)
     n_chunks = -(-n_words // stride_words)
     total = int(n_chunks.sum())
     doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_chunks)
-    ord_in_doc = np.arange(total, dtype=np.int64) - np.repeat(_excl_cumsum(n_chunks), n_chunks)
+    ord_in_doc = np.arange(total, dtype=np.int64) - np.repeat(excl_cumsum(n_chunks), n_chunks)
     starts = ord_in_doc * stride_words  # 0-based word offset of each chunk
     lens = np.minimum(chunk_words, n_words[doc_idx] - starts)
 
@@ -73,7 +69,7 @@ def chunk_batch(
     gstart = doc_off[doc_idx] + starts
     widx = (
         np.arange(int(lens.sum()), dtype=np.int64)
-        - np.repeat(_excl_cumsum(lens), lens)
+        - np.repeat(excl_cumsum(lens), lens)
         + np.repeat(gstart, lens)
     )
     chunk_offsets = np.zeros(total + 1, dtype=np.int32)

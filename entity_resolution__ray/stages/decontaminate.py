@@ -167,7 +167,9 @@ def decontaminate(
     sref = ray.put(pa.array(sorted(benchmark_grams), type=pa.string()))
 
     def probe(t: pa.Table) -> pa.Table:
-        bh = ray.get(href)
+        from ..state.worker_cache import cached_get
+
+        bh = cached_get(href)
         flagged = np.zeros(t.num_rows, dtype=bool)
         if bh.size:
             rows, flat = _tokenize_lower(t[text_col])
@@ -190,7 +192,7 @@ def decontaminate(
                     ),
                     " ",
                 )
-                ok = pc.is_in(joined, value_set=ray.get(sref)).to_numpy(
+                ok = pc.is_in(joined, value_set=cached_get(sref)).to_numpy(
                     zero_copy_only=False
                 )
                 flagged[crow[ok]] = True

@@ -214,14 +214,22 @@ def semdedup(
             X = _vecs_from_list_column(batch[self.vec_col])
             cells = _argmin_cells(X, Cm)[0] if len(X) else np.array([], dtype=np.int64)
             cell = cells.astype(np.int64)
-            # oversized-cell split: deterministic id-hash sub-cell, logged by
-            # the caller contract (recall loss only within split giants)
-            sub = (batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(44)
+            # full-range WELL-MIXED deterministic id hash (splitmix64
+            # finalizer — a bare multiplicative/golden-ratio hash is
+            # low-discrepancy: consecutive ids would land in systematically
+            # DIFFERENT sub-cells, never co-landing); the giant-split pass
+            # reduces it mod ceil(cell_size / max_cell)
+            sub = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64).copy()
+            with np.errstate(over="ignore"):
+                sub ^= sub >> np.uint64(30)
+                sub *= np.uint64(0xBF58476D1CE4E5B9)
+                sub ^= sub >> np.uint64(27)
+                sub *= np.uint64(0x94D049BB133111EB)
+                sub ^= sub >> np.uint64(31)
             return pa.table({
                 self.id_col: batch[self.id_col],
                 "cell": pa.array(cell),
-                "__sub": pa.array(sub.astype(np.int64)),
+                "__sub": pa.array(sub.view(np.int64)),
                 self.vec_col: batch[self.vec_col],
             })
 
@@ -233,25 +241,34 @@ def semdedup(
     cell_sizes = assigned.map_batches(
         lambda t: pa.table({"cell": t["cell"]}), batch_format="pyarrow"
     ).groupby("cell").count().to_pandas()
-    giants = set(cell_sizes.loc[cell_sizes["count()"] > max_cell, "cell"].tolist())
-    if giants:
+    big = cell_sizes.loc[cell_sizes["count()"] > max_cell]
+    # sub-group count SCALES with the cell: ceil(size / max_cell) sub-cells of
+    # ~max_cell rows each (a fixed-width hash would shatter giants into
+    # singletons and silently disable dedup for exactly the dup-dense cells)
+    n_sub = {
+        int(c): int(-(-s // max_cell))
+        for c, s in zip(big["cell"], big["count()"])
+    }
+    if n_sub:
         logger.warning(
-            "semdedup: %d cell(s) over max_cell=%d split by id-hash — "
-            "near-dups straddling sub-cells of a giant are not compared",
-            len(giants), max_cell,
+            "semdedup: %d cell(s) over max_cell=%d split by id-hash into "
+            "%s sub-cells — near-dups straddling sub-cells of a giant are "
+            "not compared",
+            len(n_sub), max_cell, sorted(n_sub.values(), reverse=True)[:5],
         )
-    giants_ref = ray.put(giants)
+    giants_ref = ray.put(n_sub)
 
     def key_giants(t: pa.Table) -> pa.Table:
         from ..state.worker_cache import cached_get
 
         g = cached_get(giants_ref)
         cells = t["cell"].to_numpy(zero_copy_only=False)
-        sub = t["__sub"].to_numpy(zero_copy_only=False)
-        mask = np.isin(cells, np.fromiter(g, dtype=np.int64)) if g else np.zeros(len(cells), bool)
-        return t.set_column(
-            t.schema.get_field_index("__sub"), "__sub", pa.array(np.where(mask, sub, 0))
-        )
+        sub = t["__sub"].to_numpy(zero_copy_only=False).view(np.uint64)
+        div = np.ones(len(cells), dtype=np.uint64)
+        for c, ns in g.items():
+            div[cells == c] = ns
+        eff = (sub % div).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("__sub"), "__sub", pa.array(eff))
 
     assigned = assigned.map_batches(key_giants, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -234,7 +234,9 @@ def heavy_hitters(
     cand_ref = ray.put(pa.array(sorted(cand["token"].tolist()), type=pa.string()))
 
     def exact_count(t: pa.Table) -> pa.Table:
-        cand_arr = ray.get(cand_ref)
+        from ..state.worker_cache import cached_get
+
+        cand_arr = cached_get(cand_ref)
         flat = pc.list_flatten(tokens_array(t[text_col]))
         mask = pc.is_in(flat, value_set=cand_arr)
         kept = flat.filter(mask)

@@ -176,20 +176,35 @@ def asof_join_prior(
                 "prior_event_id", "prior_ts_us", "prior_value"]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable counterpart keyed off the SOURCE dtype (after the merge
+        # an unmatched int column is already float64-with-NaN, so the source
+        # is the only reliable signal), keeping block schemas identical
+        # whether a bucket had unmatched rows, no left rows, or neither
+        id_nullable = pd.api.types.is_integer_dtype(g[id_col])
+
+        def nullable(s: pd.Series, is_int: bool) -> pd.Series:
+            return s.astype("Int64") if is_int else s
+
         left = g[g[type_col] == left_type]
         right = g[g[type_col] == right_type]
         if len(left) == 0:
+            # dtypes derived from the ACTUAL columns — hardcoding int64/
+            # float64 here produced schema-mismatched blocks whenever a
+            # bucket held only right-type rows on non-int64 keyed tables
             return pd.DataFrame({
-                id_col: pd.Series(dtype=np.int64),
-                key_col: pd.Series(dtype=np.int64),
-                "ts_us": pd.Series(dtype=np.int64),
-                value_col: pd.Series(dtype=np.float64),
-                "prior_event_id": pd.Series(dtype="Int64"),
-                "prior_ts_us": pd.Series(dtype="Int64"),
-                "prior_value": pd.Series(dtype=np.float64),
-            })
+                id_col: left[id_col],
+                key_col: left[key_col],
+                "ts_us": left["ts_us"],
+                value_col: left[value_col],
+                "prior_event_id": nullable(left[id_col], id_nullable),
+                "prior_ts_us": nullable(left["ts_us"], True),
+                "prior_value": left[value_col],
+            })[out_cols]
         left = left.sort_values("ts_us", kind="mergesort")
-        right = right.sort_values("ts_us", kind="mergesort")[
+        # tie-break: among right rows sharing (key, ts), merge_asof keeps the
+        # LAST sorted row — sorting by [ts_us, id] makes that the max id,
+        # deterministically (block order otherwise decides, flakily)
+        right = right.sort_values(["ts_us", id_col], kind="mergesort")[
             [key_col, "ts_us", id_col, value_col]
         ].rename(columns={
             id_col: "prior_event_id", "ts_us": "prior_ts_us", value_col: "prior_value",
@@ -203,10 +218,8 @@ def asof_join_prior(
             direction="backward",
             allow_exact_matches=True,
         )
-        # unmatched rows make these float64 (NaN) in some buckets and int64
-        # in fully-matched ones — pin nullable Int64 so block schemas agree
-        out["prior_event_id"] = out["prior_event_id"].astype("Int64")
-        out["prior_ts_us"] = out["prior_ts_us"].astype("Int64")
+        out["prior_event_id"] = nullable(out["prior_event_id"], id_nullable)
+        out["prior_ts_us"] = nullable(out["prior_ts_us"], True)
         return out[out_cols]
 
     def to_us(t: pa.Table) -> pa.Table:

@@ -117,3 +117,45 @@ def test_asof_join_prior(ray_session):
     assert out.loc[5, "prior_event_id"] == 2             # exact-ts match allowed
     assert out.loc[7, "prior_event_id"] == 6             # per-key isolation
     assert out.loc[7, "prior_value"] == 5.0
+
+
+def test_asof_tie_on_right_ts_picks_max_event_id(ray_session):
+    """Two right-type events at the SAME (user, ts): the prior must be the
+    max event_id among the tied rows, regardless of block order."""
+    import pandas as pd
+
+    from entity_resolution__ray.stages.windows import asof_join_prior
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for order in ([10, 11], [11, 10]):  # both physical layouts
+        df = pd.DataFrame({
+            "event_id": order + [50],
+            "user_id": [1, 1, 1],
+            "ts": [base, base, base + pd.Timedelta(seconds=5)],
+            "event_type": ["view", "view", "purchase"],
+            "value": [0.1, 0.2, 9.9],
+        })
+        out = asof_join_prior(
+            rd.from_pandas(df).repartition(2), "purchase", "view"
+        ).to_pandas()
+        assert out["prior_event_id"].tolist() == [11], order
+
+
+def test_asof_bucket_with_no_left_rows_keeps_schema(ray_session):
+    """A key whose bucket holds only right-type events must not produce a
+    schema-mismatched empty block (hardcoded dtypes did, on any non-int64
+    layout)."""
+    import pandas as pd
+
+    from entity_resolution__ray.stages.windows import asof_join_prior
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],             # user 8: views only
+        "ts": [base, base + pd.Timedelta(seconds=1), base, base + pd.Timedelta(seconds=1)],
+        "event_type": ["view", "purchase", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = asof_join_prior(rd.from_pandas(df).repartition(2), "purchase", "view").to_pandas()
+    assert len(out) == 1 and out["prior_event_id"].tolist() == [1]
