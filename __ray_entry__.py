@@ -341,10 +341,19 @@ def _q_rollup_lineitem(sf_dir: str):
     )
 
     def prep(t: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        # floor(x + 0.5): identical half-away-from-zero tie rule on both sides
+        # for the non-negative TPC-H amounts (pc.round is half-to-even while
+        # DuckDB round() is half-away — structurally divergent on exact .5s).
+        qty = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64()
+        )
         disc = pc.cast(
-            pc.round(pc.multiply(pc.subtract(pa.scalar(1.0), t["l_discount"]), 100.0)),
+            pc.floor(
+                pc.add(
+                    pc.multiply(pc.subtract(pa.scalar(1.0), t["l_discount"]), 100.0), 0.5
+                )
+            ),
             pa.int64(),
         )
         return pa.table(
@@ -388,7 +397,7 @@ def _q_pivot_lineitem(sf_dir: str):
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "qty": pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -1558,19 +1567,21 @@ def oracle_sql() -> dict[str, str]:
         # sides bit-identical regardless of partitioning / summation order.
         "a8_rollup_lineitem": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                            * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                      / 10000.0 AS revenue,
                    count(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "a9_pivot_lineitem": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_linestatus = 'F'
-                            THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_F,
-                   sum(CASE WHEN l_linestatus = 'O'
-                            THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qty_O,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                            THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS qty_F,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                            THEN CAST(floor(l_quantity + 0.5) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS qty_O,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,

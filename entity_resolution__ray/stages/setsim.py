@@ -11,12 +11,25 @@ impose a GLOBAL total order on tokens; a pair with Jaccard ≥ t over sets A, B
 must share at least one token among the first ``|X| - ceil(t*|X|) + 1``
 tokens of each side's ordered set (prefix-filter theorem, proof sketch in
 :func:`prefix_lengths`). So blocking on prefix tokens only is COMPLETE: every
-qualifying pair collides in at least one prefix-token group. The global order
-here is the 64-bit shingle hash itself — deterministic, zero global state,
-scale-free (classic PPJoin orders by ascending document frequency to make
-prefixes maximally rare; hash order is a pseudo-random proxy that needs no
-distributed DF fit — the trade is more candidates on skewed vocabularies,
-never missed pairs).
+qualifying pair collides in at least one prefix-token group.
+
+Global order (``order=``): the published PPJoin order (Xiao et al.) is
+ascending DOCUMENT FREQUENCY — prefixes then consist of each set's rarest
+tokens, so prefix-token groups are maximally small and candidate volume
+collapses on skewed vocabularies. ``order="df"`` (default) implements it
+distributed: one partial-DF pass over the corpus (per-batch ``np.unique``
+partials → one bucketed sum — the same shape as ``blocking.py``'s token-DF
+fit), truncated to the ``max_vocab`` most frequent tokens, broadcast once via
+``ray.put`` blocks and looked up per batch with a binary search; every token
+outside the dictionary gets df=1. The composite key ``(df, hash64)`` is a
+total order that is CONSISTENT across all docs, which is the only property
+completeness needs — truncation degrades candidate-count optimality
+gracefully, never correctness, and bounds the broadcast at 100 TB (12 bytes ×
+max_vocab regardless of corpus size; only tokens with df ≥ 2 matter, and the
+hot tokens the ordering exists to demote are by definition high-df, so they
+are always retained). ``order="hash"`` keeps the zero-state pseudo-random
+proxy (one fewer corpus pass; more candidates on skewed vocabularies, never
+missed pairs).
 
 Scale shape: one map over docs emits ≤ prefix-length rows per doc (key is a
 uint64, no strings), one hash shuffle groups equal prefix tokens, pair
@@ -27,8 +40,9 @@ broadcast gram store (one hash pass over the corpus total, not per pair).
 Skew caveat (documented, logged): completeness requires full triu emission
 per token group, so a token shared by k prefixes costs O(k²) candidates —
 unlike LSH dedup there is no star-cap escape that preserves JOIN semantics.
-For corpora where hash-ordered prefixes stay hot, raise ``threshold`` (shorter
-prefixes) or pre-filter boilerplate (``curation.remove_boilerplate``).
+``order="df"`` is the structural fix (hot tokens leave the prefixes); if a
+group is still hot, raise ``threshold`` (shorter prefixes) or pre-filter
+boilerplate (``curation.remove_boilerplate``).
 """
 
 from __future__ import annotations
