@@ -1099,9 +1099,12 @@ def _q_set_similarity_join(sf_dir: str):
     """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
     (stages/setsim.set_similarity_join): prefix-filter candidates (complete
     by the prefix theorem — no LSH recall caveat) verified against the
-    broadcast pre-hashed gram store. The oracle is the brute-force
-    explode-join-group in SQL; at this threshold the join recovers exactly
-    the corpus's planted near-duplicate pairs."""
+    broadcast pre-hashed gram store. Prefixes are ordered by ascending
+    document frequency (the published PPJoin order, fitted distributed over
+    the materialized gram sets) so corpus-hot tokens never enter a prefix.
+    The oracle is the brute-force explode-join-group in SQL; at this
+    threshold the join recovers exactly the corpus's planted near-duplicate
+    pairs."""
     from entity_resolution__ray.stages.setsim import set_similarity_join
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])

@@ -86,39 +86,184 @@ def _safe_ceil(x: np.ndarray) -> np.ndarray:
     return np.ceil(np.asarray(x, dtype=np.float64) - 1e-9).astype(np.int64)
 
 
+def fit_shingle_df(ds: Dataset, text_col: str = "text", shingle: str = "word2",
+                   min_df: int = 2, max_vocab: int = 1_000_000,
+                   num_buckets: int = 64):
+    """Distributed shingle document-frequency fit → broadcast-ready refs.
+
+    One pass over the corpus: per-batch ``np.unique`` over the per-row-unique
+    shingle hashes gives a partial (hash → #docs-in-batch) table; one bucketed
+    shuffle sums partials exactly (same shape as the token-DF fit at
+    ``blocking.fit_blocking_tfidf_distributed``). Tokens with df < ``min_df``
+    are dropped (df=1 tokens cannot influence the ORDER of any collision —
+    they appear in one doc), and the dictionary is truncated to the
+    ``max_vocab`` highest-df entries (ties broken by hash) so the broadcast
+    is bounded regardless of corpus size: the sort+limit costs O(vocab), not
+    O(corpus), and the hot tokens the ordering exists to demote are by
+    definition high-df, hence always retained.
+
+    Returns ``(refs, key)``: Arrow block refs of (h:int64, df:int64) and a
+    deterministic cache key for ``worker_cache.cached_build``.
+    """
+    from .dedup import _unique_per_row, shingle_hashes_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        gh, counts = shingle_hashes_batch(t[text_col], shingle)
+        _, uh, _ = _unique_per_row(gh, counts)
+        h, c = np.unique(uh, return_counts=True)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), type=pa.int64()),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _vocab_refs(partials, min_df, max_vocab, num_buckets,
+                       tag=f"{shingle}:{max_vocab}")
+
+
+def fit_shingle_df_from_grams(grams_ds: Dataset, min_df: int = 2,
+                              max_vocab: int = 1_000_000, num_buckets: int = 64):
+    """DF fit over an already-materialized gram-set dataset (the
+    (doc_id, grams: large_list<uint64>) layout of
+    ``dedup.build_gram_set_refs``) — no text re-hashing: each row's grams are
+    already unique, so a flat ``np.unique`` per batch IS the partial doc
+    count. This is the fit :func:`set_similarity_join` uses, since it
+    materializes gram refs for verification anyway."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["grams"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.flatten().to_numpy(zero_copy_only=False)
+        h, c = np.unique(v.view(np.uint64), return_counts=True)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), type=pa.int64()),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    partials = grams_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _vocab_refs(partials, min_df, max_vocab, num_buckets, tag=str(max_vocab))
+
+
+def _vocab_refs(partials: Dataset, min_df: int, max_vocab: int,
+                num_buckets: int, tag: str):
+    """(h, c) partials → exact bucketed DF sum → df ≥ min_df → top-max_vocab
+    broadcast refs. The truncation sort runs ONLY when the vocabulary
+    actually exceeds the cap (count on the materialized vocab is free) —
+    typical corpora skip the extra barrier entirely."""
+    from .blocking import bucketed_apply
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by("h").aggregate([("c", "sum")])
+        t = t.filter(pc.greater_equal(t["c_sum"], min_df))
+        return pa.table({"h": t["h"], "df": pc.cast(t["c_sum"], pa.int64())})
+
+    vocab = bucketed_apply(partials, ["h"], sum_bucket, num_buckets=num_buckets,
+                           batch_format="pyarrow").materialize()
+    if vocab.count() > max_vocab:
+        vocab = vocab.sort(["df", "h"], descending=[True, False]).limit(max_vocab)
+    refs = vocab.to_arrow_refs()
+    key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{tag}"
+    return refs, key
+
+
+def _df_lookup_from_refs(refs):
+    """Worker-side decode of the broadcast DF dictionary → (sorted hashes,
+    dfs aligned). ``.copy()`` moves buffers off plasma mmap (random-gather
+    pattern — same rationale as ``dedup._gram_store_from_refs``)."""
+    import ray
+
+    # sort/limit emit empty blocks with EMPTY schemas — drop them before
+    # concat (mixing schemas fails) and handle the all-empty vocabulary
+    tbls = [t for t in ray.get(list(refs)) if t.num_rows and "h" in t.schema.names]
+    if not tbls:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    tbl = pa.concat_tables(tbls).combine_chunks()
+    h = tbl["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    o = np.argsort(h, kind="stable")
+    return h[o].copy(), df[o].copy()
+
+
 class PrefixFilterKeys:
     """Batch fn: text → (band_key: uint64, doc_id) prefix-token rows.
 
-    Each doc's shingle set is hashed once (``shingle_hashes_batch``), deduped
-    and sorted ascending per row (``_unique_per_row`` — ascending hash IS the
-    global order), and the first ``prefix_lengths`` entries are emitted."""
+    Each doc's shingle set is hashed once (``shingle_hashes_batch``) and
+    deduped per row (``_unique_per_row``); the set is then ordered by the
+    global total order — ``(df, hash)`` ascending when a DF dictionary from
+    :func:`fit_shingle_df` is supplied (published PPJoin order), plain
+    ascending hash otherwise — and the first ``prefix_lengths`` entries are
+    emitted. ``ppos`` is the token's position in that order, which is what
+    the positional filter's suffix bound needs."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 threshold: float = 0.4, shingle: str = "word2"):
+                 threshold: float = 0.4, shingle: str = "word2",
+                 df_refs=None, df_key: str = ""):
         self.text_col = text_col
         self.id_col = id_col
         self.threshold = threshold
         self.shingle = shingle
+        self.df_refs = df_refs
+        self.df_key = df_key
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import _unique_per_row, shingle_hashes_batch
-
-        id_arr = batch[self.id_col]
-        id_type = id_arr.type if not isinstance(id_arr, pa.ChunkedArray) else id_arr.type
+    @staticmethod
+    def _empty(id_type) -> pa.Table:
         # the key is opaque — reinterpret the uint64 hash as int64 (the
         # bucket hasher and Arrow dictionary-encode take signed ints)
-        empty = pa.table({
+        return pa.table({
             "band_key": pa.array([], type=pa.int64()),
             "doc_id": pa.array([], type=id_type),
             "set_size": pa.array([], type=pa.int32()),
             "ppos": pa.array([], type=pa.int32()),
         })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _unique_per_row, shingle_hashes_batch
+
+        id_arr = batch[self.id_col]
         if batch.num_rows == 0:
-            return empty
+            return self._empty(id_arr.type)
         gh, counts = shingle_hashes_batch(batch[self.text_col], self.shingle)
         ur, uh, uc = _unique_per_row(gh, counts)
+        return self._emit(id_arr, ur, uh, uc)
+
+    def from_grams(self, batch: pa.Table) -> pa.Table:
+        """Same emission over the (doc_id, grams) gram-set layout — each
+        row's grams are already unique and hash-sorted, so no text pass."""
+        id_arr = batch[self.id_col]
+        if batch.num_rows == 0:
+            return self._empty(id_arr.type)
+        col = batch["grams"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        uh = col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        uc = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ur = np.repeat(np.arange(len(uc), dtype=np.int64), uc)
+        return self._emit(id_arr, ur, uh, uc)
+
+    def _emit(self, id_arr, ur: np.ndarray, uh: np.ndarray, uc: np.ndarray) -> pa.Table:
         if len(ur) == 0:
-            return empty
+            return self._empty(id_arr.type)
+        if self.df_refs is not None:
+            from ..state.worker_cache import cached_build
+
+            hs, dfs = cached_build(
+                f"shingledf:{self.df_key}",
+                lambda: _df_lookup_from_refs(self.df_refs),
+            )
+            if len(hs):
+                idx = np.minimum(np.searchsorted(hs, uh), len(hs) - 1)
+                found = hs[idx] == uh
+                dfv = np.where(found, dfs[idx], 1)
+            else:
+                dfv = np.ones(len(uh), dtype=np.int64)
+            # reorder WITHIN each row by (df asc, hash asc); rows stay
+            # contiguous (ur is the primary lexsort key and already grouped)
+            order = np.lexsort((uh, dfv, ur))
+            uh = uh[order]
         p = prefix_lengths(uc, self.threshold)
         starts = np.cumsum(uc) - uc
         pos = np.arange(len(ur), dtype=np.int64) - np.repeat(starts[uc > 0], uc[uc > 0])
@@ -211,26 +356,48 @@ def set_similarity_join(
     threshold: float = 0.4,
     shingle: str = "word2",
     num_buckets: int = 64,
+    order: str = "df",
+    max_vocab: int = 1_000_000,
 ) -> Dataset:
     """All (id_left, id_right, jaccard) pairs with shingle-set Jaccard ≥
     ``threshold`` (id_left < id_right), EXACT — prefix-filter candidates
     (complete by construction) verified against the broadcast pre-hashed
     gram store. ``jaccard`` is rounded to 4 decimals for stable comparison.
 
+    The corpus is shingle-hashed exactly ONCE (``build_gram_set_refs``); the
+    prefix keyer, the DF fit, and the verifier all run over those
+    materialized gram-set blocks. ``order="df"`` (default) orders prefixes by
+    ascending document frequency — the published PPJoin order, fitted by one
+    cheap pass over the uint64 gram lists; ``order="hash"`` skips the fit
+    (module docstring discusses the trade).
+
     Broadcast-path verification only: the gram store must fit the object
     store. Beyond that regime, swap the verifier for the distributed join
     attach used by ``dedup.near_dup_clusters(attach_mode="join")`` — the
     candidate generator is unchanged."""
-    from .dedup import GramSetVerify, build_gram_set_refs
+    import ray.data as rd
 
-    keyer = PrefixFilterKeys(text_col=text_col, id_col=id_col,
-                             threshold=threshold, shingle=shingle)
-    keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow",
-                          zero_copy_batch=True)
-    cands = _candidates_from_prefix_groups(keys, threshold, num_buckets=num_buckets)
+    from .dedup import GramSetVerify, build_gram_set_refs
 
     refs = build_gram_set_refs(ds, text_col=text_col, id_col=id_col, shingle=shingle)
     key = f"{refs[0].hex() if refs else 'empty'}:{len(refs)}:{shingle}"
+    grams_ds = rd.from_arrow_refs(list(refs))
+
+    df_refs, df_key = (None, "")
+    if order == "df":
+        df_refs, df_key = fit_shingle_df_from_grams(
+            grams_ds, max_vocab=max_vocab, num_buckets=num_buckets
+        )
+    elif order != "hash":
+        raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
+
+    keyer = PrefixFilterKeys(text_col=text_col, id_col=id_col,
+                             threshold=threshold, shingle=shingle,
+                             df_refs=df_refs, df_key=df_key)
+    keys = grams_ds.map_batches(lambda t, k=keyer: k.from_grams(t),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    cands = _candidates_from_prefix_groups(keys, threshold, num_buckets=num_buckets)
+
     verifier = GramSetVerify(refs, key)
 
     def verify(t: pa.Table) -> pa.Table:

@@ -89,6 +89,53 @@ def test_prefix_lengths_float_ceil_safe():
     assert p.tolist() == [200 - 110 + 1, 220 - 121 + 1]
 
 
+def test_hash_order_path_matches_brute_force(ray_session):
+    # order="hash" (zero-state proxy) must stay exact too
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 12))) for _ in range(50)]
+    for i in range(0, 12, 3):
+        texts.append(texts[i])
+    want = _brute_force(texts, 0.5)
+    out = set_similarity_join(_docs_ds(texts), threshold=0.5, order="hash").to_pandas()
+    got = {(int(r.id_left), int(r.id_right)): float(r.jaccard) for r in out.itertuples()}
+    assert set(got) == set(want)
+    assert len(want) > 0
+
+
+def test_df_order_reduces_candidates_on_skewed_vocab(ray_session):
+    """Frequency-ordered prefixes demote corpus-hot tokens out of the prefix
+    (the point of PPJoin's DF order): on a boilerplate-heavy corpus the
+    candidate count must shrink vs hash order while the exact join result is
+    unchanged."""
+    from entity_resolution__ray.stages.setsim import (
+        PrefixFilterKeys, _candidates_from_prefix_groups, fit_shingle_df)
+
+    # heavy shared boilerplate prefix + a few unique tokens per doc
+    hot = "terms of service apply all rights reserved contact us at"
+    texts = [
+        f"{hot} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h" for i in range(80)
+    ]
+    texts += [texts[0], texts[5]]  # two true dups
+    ds = _docs_ds(texts)
+
+    def n_cands(df_refs, df_key):
+        keyer = PrefixFilterKeys(threshold=0.4, df_refs=df_refs, df_key=df_key)
+        keys = ds.map_batches(lambda t, k=keyer: k(t), batch_format="pyarrow")
+        return _candidates_from_prefix_groups(keys, 0.4).count()
+
+    refs, key = fit_shingle_df(ds)
+    n_hash = n_cands(None, "")
+    n_df = n_cands(refs, key)
+    assert n_df < n_hash, (n_df, n_hash)
+
+    want = _brute_force(texts, 0.4)
+    for order in ("df", "hash"):
+        out = set_similarity_join(ds, threshold=0.4, order=order).to_pandas()
+        got = {(int(r.id_left), int(r.id_right)) for r in out.itertuples()}
+        assert got == set(want), order
+
+
 def test_set_similarity_join_brute_force_at_filter_heavy_thresholds(ray_session):
     # exercise the length + positional prunes: wide spread of set sizes and
     # thresholds where the prunes fire (the brute force is the completeness
