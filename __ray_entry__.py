@@ -985,9 +985,16 @@ def _q_bpe_vocab(sf_dir: str):
         raise AssertionError("bpe self-gate is fixture-scale only; got %d words" % len(wc))
     want = bpe_train_reference(dict(wc), n_merges=n_merges)
     if merges != want:
+        # default covers the strict-prefix case (equal common prefix,
+        # different lengths), where the zip generator exhausts
+        rank = next(
+            (i for i, (g, w) in enumerate(zip(merges, want)) if g != w),
+            min(len(merges), len(want)),
+        )
         raise AssertionError(
             f"bpe_vocab_merges self-gate: distributed merges diverge from the "
-            f"Sennrich reference at rank {next(i for i, (g, w) in enumerate(zip(merges, want)) if g != w) if merges and want else 0}"
+            f"Sennrich reference at rank {rank} "
+            f"(got {len(merges)} merges, want {len(want)})"
         )
     return pa.table(
         {
@@ -1249,10 +1256,18 @@ def _q_semdedup(sf_dir: str):
 
     emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     k, n_iters, threshold = 4, 3, 0.4
-    out = semdedup(emb, k=k, n_iters=n_iters, threshold=threshold).to_pandas()
+    # Gate cap == max_cell (pinned explicitly): the reference re-derivation
+    # below groups by `cell` ONLY, while the engine splits cells larger than
+    # max_cell into __sub sub-cells with their own greedy passes — so the
+    # gate is exact precisely when no split can occur, i.e. every cell
+    # (≤ total rows ≤ cap) stays within max_cell. A larger advertised cap
+    # with the default max_cell=4096 silently diverged past ~16k rows.
+    GATE_CAP = 4096
+    out = semdedup(emb, k=k, n_iters=n_iters, threshold=threshold,
+                   max_cell=GATE_CAP).to_pandas()
 
     n = len(out)
-    if n > 50_000:
+    if n > GATE_CAP:
         raise AssertionError("semdedup self-gate is fixture-scale only; got %d rows" % n)
     # ---- exact reference re-derivation (same cells, same greedy rule) -----
     import pandas as pd

@@ -72,12 +72,14 @@ def chunk_batch(
         - np.repeat(excl_cumsum(lens), lens)
         + np.repeat(gstart, lens)
     )
-    chunk_offsets = np.zeros(total + 1, dtype=np.int32)
+    # int64 offsets + LargeList/large_string: a batch whose gathered
+    # chunk-words (or their bytes) exceed 2^31 would silently wrap int32
+    # offsets into a corrupt array (same discipline as bpe._to_symbol_table)
+    chunk_offsets = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=chunk_offsets[1:])
-    chunk_lists = pa.ListArray.from_arrays(
-        pa.array(chunk_offsets), flat.take(pa.array(widx))
-    )
-    chunk_text = pc.binary_join(chunk_lists, " ")
+    gathered = pc.cast(flat, pa.large_string()).take(pa.array(widx))
+    chunk_lists = pa.LargeListArray.from_arrays(pa.array(chunk_offsets), gathered)
+    chunk_text = pc.binary_join(chunk_lists, pa.scalar(" ", pa.large_string()))
 
     return pa.table(
         {

@@ -622,13 +622,18 @@ def near_dup_clusters(
             "dedup join path: %d verified edges materialized in %.1fs (cc_partitions=%d)",
             n_edges, _time.time() - _t0, num_partitions,
         )
-    # CC operates on string node ids (its min-label sentinel is a string);
-    # numeric ids are zero-padded so lexicographic order == numeric order,
-    # then cast back on the way out.
     id_type = None
     for f_ in _arrow_schema_of(ds):
         if f_.name == id_col:
             id_type = f_.type
+    return pairs_to_dup_groups(verified, id_type, num_partitions=num_partitions)
+
+
+def pairs_to_dup_groups(pairs: Dataset, id_type, num_partitions: int = 8) -> Dataset:
+    """(id_left, id_right) edge list → (doc_id, dup_group) via distributed CC;
+    dup_group = min doc id of the component. CC operates on string node ids
+    (its min-label sentinel is a string); numeric ids are zero-padded so
+    lexicographic order == numeric order, then cast back on the way out."""
     numeric = id_type is not None and pa.types.is_integer(id_type)
 
     def to_str(t: pa.Table) -> pa.Table:
@@ -642,7 +647,7 @@ def near_dup_clusters(
             v_ = pc.cast(t["id_right"], pa.string())
         return pa.table({"u": u, "v": v_})
 
-    edges = verified.map_batches(to_str, batch_format="pyarrow", zero_copy_batch=True)
+    edges = pairs.map_batches(to_str, batch_format="pyarrow", zero_copy_batch=True)
     labels = connected_components(edges, num_partitions=num_partitions)
 
     def from_str(t: pa.Table) -> pa.Table:

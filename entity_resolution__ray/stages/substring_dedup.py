@@ -27,6 +27,7 @@ corpora (the test tables) byte and character windows coincide.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
@@ -34,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
 
 from ..functions.arrays import excl_cumsum
 
@@ -114,33 +117,131 @@ def window_fingerprints(
     return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def probe_window_group_stats(keys: Dataset, sample_mod: int = 64) -> dict:
+    """Estimate the window-group size distribution from a 1/``sample_mod``
+    CONTENT-DEFINED sample of groups (``band_key & (sample_mod-1) == 0`` —
+    whole groups are kept or dropped together, so sampled group sizes are
+    exact, and the hash is uniform so the sample is unbiased over groups).
+    Per-bucket partial stats reduce to one tiny driver-side row set: the
+    driver never sees per-group data. Returns extrapolated
+    ``{est_rows, est_pairs, max_group_size, sampled_groups}``.
+
+    ``sample_mod`` must be a power of two (bit-mask sampling keeps the int64
+    view of the uint64 hash sign-safe)."""
+    if sample_mod & (sample_mod - 1):
+        raise ValueError("sample_mod must be a power of two")
+    from .blocking import bucketed_apply
+
+    sampled = keys.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["band_key"], sample_mod - 1), 0)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64()),
+                             "pairs": pa.array([], pa.int64()),
+                             "max_size": pa.array([], pa.int64()),
+                             "groups": pa.array([], pa.int64())})
+        sizes = g.group_by("band_key").aggregate([("band_key", "count")])[
+            "band_key_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "rows": pa.array([int(sizes.sum())]),
+            "pairs": pa.array([int((sizes * (sizes - 1) // 2).sum())]),
+            "max_size": pa.array([int(sizes.max())]),
+            "groups": pa.array([len(sizes)]),
+        })
+
+    parts = bucketed_apply(sampled, ["band_key"], bucket_stats, num_buckets=32,
+                           batch_format="pyarrow").take_all()
+    rows = sum(p["rows"] for p in parts)
+    pairs = sum(p["pairs"] for p in parts)
+    return {
+        "est_rows": rows * sample_mod,
+        "est_pairs": pairs * sample_mod,
+        "max_group_size": max((p["max_size"] for p in parts), default=0),
+        "sampled_groups": sum(p["groups"] for p in parts),
+    }
+
+
 def substring_dup_pairs(
     ds: Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 32,
     mod_p: int = 1,
-    max_group_size: Optional[int] = None,
+    max_group_size: Optional[int | str] = None,
+    auto_star_cap: int = 16,
+    auto_pair_factor: float = 8.0,
 ) -> Dataset:
     """Distinct doc pairs sharing ≥1 emitted window (module docstring).
 
     ``max_group_size=None`` (default) emits the FULL pair set — the stated
-    contract. Setting it caps boilerplate window groups to star spokes
+    contract. An integer caps boilerplate window groups to star spokes
     (min-id hub), which preserves group CONNECTIVITY — equivalent for
     CC-based dedup downstream, but an incomplete pair listing; unlike the
     LSH dedup there is no other band to recover dropped pairs, so the cap
-    is opt-in here rather than a default. On dup-dense corpora it is the
+    never engages silently in pairs mode. On dup-dense corpora it is the
     difference between exchange-bound and compute-bound (measured 11× at
-    200k docs — BASELINE.md)."""
+    200k docs — BASELINE.md).
+
+    ``max_group_size="auto"`` runs :func:`probe_window_group_stats` on the
+    (materialized-once) fingerprint table and applies ``auto_star_cap`` only
+    when the estimated full-triu pair volume exceeds ``auto_pair_factor`` ×
+    the key rows — i.e. when the output would be exchange-bound, the
+    dup-dense regime. The decision and estimated drop are logged; corpora
+    with ordinary group-size distributions (every oracle fixture) take the
+    exact full-triu path unchanged. This is the mode
+    :func:`substring_dup_clusters` defaults to, where capping is
+    semantics-EXACT (connectivity preserved)."""
     from .dedup import _pairs_from_band_groups
 
     keys = window_fingerprints(
         ds, text_col=text_col, id_col=id_col, window=window, mod_p=mod_p
     )
-    if max_group_size is None:
-        max_group_size = 2**62  # never trips — full triu
     if id_col != "doc_id":
         keys = keys.map_batches(
             lambda t: t.rename_columns(["band_key", "doc_id"]), batch_format="pyarrow"
         )
+    if max_group_size == "auto":
+        keys = keys.materialize()  # probe + pair emission: one execution
+        stats = probe_window_group_stats(keys)
+        dense = stats["est_pairs"] > auto_pair_factor * max(stats["est_rows"], 1)
+        logger.info(
+            "substring dedup probe: est %d pairs / %d key rows (max sampled "
+            "group %d) -> %s",
+            stats["est_pairs"], stats["est_rows"], stats["max_group_size"],
+            f"star cap {auto_star_cap}" if dense else "full triu",
+        )
+        max_group_size = auto_star_cap if dense else None
+    if max_group_size is None:
+        max_group_size = 2**62  # never trips — full triu
     return _pairs_from_band_groups(keys, max_group_size=max_group_size)
+
+
+def substring_dup_clusters(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    mod_p: int = 1,
+    max_group_size: Optional[int | str] = "auto",
+    num_partitions: int = 8,
+) -> Dataset:
+    """(doc_id, dup_group) for docs sharing an exact window run, dup_group =
+    min doc id of the connected component. The downstream CC makes the star
+    cap EXACT here (spokes preserve group connectivity, and components are
+    all CC consumes), so ``max_group_size="auto"`` is the default: dup-dense
+    corpora are capped by the probe, ordinary corpora run full triu — both
+    yield identical components."""
+    from .dedup import pairs_to_dup_groups
+    from .joins import _arrow_schema
+
+    pairs = substring_dup_pairs(
+        ds, text_col=text_col, id_col=id_col, window=window, mod_p=mod_p,
+        max_group_size=max_group_size,
+    )
+    id_type = _arrow_schema(ds).field(id_col).type
+    return pairs_to_dup_groups(pairs, id_type, num_partitions=num_partitions)

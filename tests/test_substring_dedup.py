@@ -88,6 +88,37 @@ def test_giant_group_star_cap(ray_session):
     assert {(0, i) for i in range(1, 6)} <= star
 
 
+def test_auto_cap_engages_only_on_dup_dense(ray_session):
+    from entity_resolution__ray.stages.substring_dedup import (
+        probe_window_group_stats, substring_dup_clusters)
+
+    # dup-dense: 40 docs all sharing one 40-byte run → one group of 40
+    # (full triu = 780 pairs ≫ 8 × 40 key rows) → auto must cap
+    dense = [f"doc{i} " + "Q" * 40 for i in range(40)]
+    n_full = substring_dup_pairs(ds_of(dense), window=32).count()
+    n_auto = substring_dup_pairs(ds_of(dense), window=32, max_group_size="auto").count()
+    assert n_full == 40 * 39 // 2
+    assert n_auto < n_full  # star spokes, not the clique
+
+    # ordinary corpus (TEXTS: one shared run between docs 0/1): auto must
+    # take the exact full-triu path — identical pair set
+    p_full = got_pairs(substring_dup_pairs(ds_of(TEXTS), window=32))
+    p_auto = got_pairs(substring_dup_pairs(ds_of(TEXTS), window=32, max_group_size="auto"))
+    assert p_auto == p_full
+
+    # the probe itself: sample_mod=1 sees every group exactly
+    keys = window_fingerprints(ds_of(dense), window=32)
+    stats = probe_window_group_stats(keys, sample_mod=1)
+    assert stats["max_group_size"] == 40
+    assert stats["est_pairs"] >= 40 * 39 // 2
+
+    # CC downstream: capped and uncapped give IDENTICAL components
+    for mgs in ("auto", None):
+        out = substring_dup_clusters(ds_of(dense), window=32, max_group_size=mgs).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(40))
+        assert set(out["dup_group"]) == {0}
+
+
 def test_rejects_bad_params(ray_session):
     with pytest.raises(ValueError):
         window_fingerprints(ds_of(["ab"]), window=1)
