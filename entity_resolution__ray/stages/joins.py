@@ -37,9 +37,10 @@ from ..functions.hashing import bucket_ids
 # .build() with no schema), so any join whose key space is sparse relative to
 # num_partitions fails with "No match ... for key field". This engine instead
 # expresses a distributed hash join as: tag both sides, bucket by key hash,
-# union, groupby(bucket), pandas-merge inside each co-grouped bucket — the
-# exact same shuffle movement, no empty-partition failure mode, and explicit
-# control over bucket count (and bucket-level salting if a key is hot).
+# union, groupby(bucket), Acero hash join inside each co-grouped bucket —
+# the exact same shuffle movement, no empty-partition failure mode, and
+# explicit control over bucket count (and bucket-level salting if a key is
+# hot). Nested payload columns ride behind a row index (see merge()).
 def _bucket_column(t: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Array:
     return bucket_ids(t, keys, num_buckets)
 
@@ -123,30 +124,35 @@ def hash_join(
 
     join_type = {"inner": "inner", "left": "left outer", "right": "right outer",
                  "outer": "full outer"}[how]
-    # Acero's hash join rejects nested payload types (list/struct) — those
-    # buckets fall back to the pandas merge; flat-typed joins (the common
-    # case: ids, probs, texts) stay Arrow-native end to end
-    nested_payload = any(
-        pa.types.is_nested(tp) for tp in list(ltypes.values()) + list(rtypes.values())
-    )
-
-    if nested_payload:
-
-        def merge_pd(group: pd.DataFrame) -> pa.Table:
-            lg = group.loc[group["__side"] == 0, keys + lonly]
-            rg = group.loc[group["__side"] == 1, keys + ronly]
-            m = lg.merge(rg, on=keys, how=how)
-            tbl = pa.Table.from_pandas(m, preserve_index=False)
-            return tbl.select(out_schema.names).cast(out_schema)
-
-        return u.groupby("__bucket").map_groups(merge_pd, batch_format="pandas")
+    # Acero's hash join rejects nested payload types (list/struct) — nested
+    # columns sit out of the join behind an int64 row index and are gathered
+    # back afterwards (one `take` per nested column; null index → null row,
+    # which is exactly the outer-join fill). Everything stays Arrow-native —
+    # the previous pandas fallback materialized every list element as a
+    # Python object.
+    l_nested = [c for c in lonly if pa.types.is_nested(ltypes[c])]
+    r_nested = [c for c in ronly if pa.types.is_nested(rtypes[c])]
+    l_flat = [c for c in lonly if c not in l_nested]
+    r_flat = [c for c in ronly if c not in r_nested]
 
     def merge(group: pa.Table) -> pa.Table:
         # Arrow-native per-bucket join (Acero hash join) — no pandas
         # object-materialization round trip for the string key/value columns
         lg = group.filter(pc.equal(group["__side"], 0)).select(keys + lonly)
         rg = group.filter(pc.equal(group["__side"], 1)).select(keys + ronly)
-        m = lg.join(rg, keys=keys, join_type=join_type)
+        if not l_nested and not r_nested:
+            m = lg.join(rg, keys=keys, join_type=join_type)
+        else:
+            lj = lg.select(keys + l_flat).append_column(
+                "__lidx", pa.array(np.arange(lg.num_rows, dtype=np.int64)))
+            rj = rg.select(keys + r_flat).append_column(
+                "__ridx", pa.array(np.arange(rg.num_rows, dtype=np.int64)))
+            m = lj.join(rj, keys=keys, join_type=join_type)
+            for c in l_nested:
+                m = m.append_column(c, pc.take(lg[c].combine_chunks(), m["__lidx"]))
+            for c in r_nested:
+                m = m.append_column(c, pc.take(rg[c].combine_chunks(), m["__ridx"]))
+            m = m.drop_columns(["__lidx", "__ridx"])
         # enforce the declared schema so every block (incl. empty buckets)
         # is arrow with identical types
         return m.select(out_schema.names).cast(out_schema)

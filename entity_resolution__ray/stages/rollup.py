@@ -24,17 +24,29 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
 
-def _partial_agg(df: pd.DataFrame, keys: list, sum_cols: list, count_col: str) -> pd.DataFrame:
-    g = df.groupby(keys, dropna=False, sort=False)
-    out = g[sum_cols].sum()
-    out[count_col] = g.size()
-    return out.reset_index()
+def _agg_arrow(t: pa.Table, keys: list, sum_cols: list, count_col: str | None) -> pa.Table:
+    """Vectorized partial aggregation via ``pa.Table.group_by`` — the fact
+    rows never leave Arrow (a pandas conversion materializes every string
+    key as a Python object). ``use_threads=False``: the batch runs inside a
+    Ray task that already owns exactly one CPU slot. Null keys form their
+    own group (Arrow default), matching ``GROUP BY`` / pandas
+    ``dropna=False`` semantics."""
+    aggs = [(c, "sum") for c in sum_cols]
+    if count_col is not None:
+        aggs.append(([], "count_all"))
+    g = t.group_by(keys, use_threads=False).aggregate(aggs)
+    cols = {k: g[k] for k in keys}
+    for c in sum_cols:
+        cols[c] = pc.cast(g[f"{c}_sum"], pa.int64())
+    if count_col is not None:
+        cols[count_col] = pc.cast(g["count_all"], pa.int64())
+    return pa.table(cols)
 
 
 def _key_types(ds: Dataset, keys: list) -> dict:
@@ -79,20 +91,22 @@ def rollup_aggregate(
 
     # ---- pass over the raw rows: finest-grain partial agg per batch -------
     partial = ds.map_batches(
-        lambda df: _partial_agg(df, keys, sums, count_col),
-        batch_format="pandas",
+        lambda t: _agg_arrow(t, keys, sums, count_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     # sum-of-partials is the same re-aggregation shape at every level
     agg_cols = sums + [count_col]
 
-    def combine(df: pd.DataFrame, level_keys: list) -> pd.DataFrame:
-        return df.groupby(level_keys, dropna=False, sort=False)[agg_cols].sum().reset_index()
+    def combine(t: pa.Table, level_keys: list) -> pa.Table:
+        return _agg_arrow(t, level_keys, agg_cols, None)
 
     # finest feeds every coarser level AND its own widen — materialize the
     # (key-domain-bounded, tiny) table once so the raw-row pass and its
     # shuffle don't lazily re-execute per consumer
     finest = bucketed_apply(
-        partial, keys, lambda df: combine(df, keys), num_buckets=num_buckets
+        partial, keys, lambda t: combine(t, keys), num_buckets=num_buckets,
+        batch_format="pyarrow",
     ).materialize()
 
     def widen(level_keys: list):
@@ -116,17 +130,20 @@ def rollup_aggregate(
     for i in range(len(keys) - 1, 0, -1):
         lk = keys[:i]
         lvl = bucketed_apply(
-            finest, lk, lambda df, lk=lk: combine(df, lk), num_buckets=min(num_buckets, 8)
+            finest, lk, lambda t, lk=lk: combine(t, lk), num_buckets=min(num_buckets, 8),
+            batch_format="pyarrow",
         )
         levels.append(lvl.map_batches(widen(lk), batch_format="pyarrow", zero_copy_batch=True))
 
     # grand total: one global combine of the (tiny) finest table
-    def grand(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({c: [df[c].sum()] for c in agg_cols})
+    def grand(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], type=pa.int64()) for c in agg_cols
+        })
 
     total = finest.map_batches(
-        lambda df: df[agg_cols], batch_format="pandas"
-    ).repartition(1).map_batches(grand, batch_format="pandas")
+        lambda t: t.select(agg_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1).map_batches(grand, batch_format="pyarrow")
     levels.append(
         total.map_batches(widen([]), batch_format="pyarrow", zero_copy_batch=True)
     )
@@ -156,20 +173,24 @@ def pivot_sum(
     vals = list(col_values)
     out_cols = [f"{value_col}_{v}" for v in vals]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(row_key, sort=False)
-        out = pd.DataFrame(index=g.size().index)
+    def partial(t: pa.Table) -> pa.Table:
+        # pre-mask one column per pivot value (value where col_key == v else
+        # 0), then ONE Arrow group_by over the fact rows — no pandas pass
+        zero = pa.scalar(0, type=pa.int64())
+        masked = {row_key: t[row_key]}
         for v, oc in zip(vals, out_cols):
-            out[oc] = df[df[col_key] == v].groupby(row_key, sort=False)[value_col].sum()
-        out[count_col] = g.size()
-        return out.fillna(0).astype({c: "int64" for c in out_cols + [count_col]}).reset_index()
+            masked[oc] = pc.if_else(
+                pc.equal(t[col_key], v), pc.cast(t[value_col], pa.int64()), zero
+            )
+        return _agg_arrow(pa.table(masked), [row_key], out_cols, count_col)
 
     from .blocking import bucketed_apply
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_apply(
         partials,
         [row_key],
-        lambda df: df.groupby(row_key, sort=False, as_index=False)[out_cols + [count_col]].sum(),
+        lambda t: _agg_arrow(t, [row_key], out_cols + [count_col], None),
         num_buckets=num_buckets,
+        batch_format="pyarrow",
     )

@@ -137,3 +137,34 @@ def test_bloom_prefilter_join_parity_and_selectivity(ray_session):
     semi = distributed_anti_join(pre, rd.from_pandas(small), on=["k"], semi=True).to_pandas()
     want = large[large["k"].isin(set(small["k"]))]
     assert sorted(semi["payload"]) == sorted(want["payload"])
+
+
+def test_hash_join_nested_payload_arrow_native(ray_session):
+    """List-typed payloads sit out of the Acero join behind a row index and
+    are gathered back — inner and left-outer (null fill) must both be exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution__ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "vec": pa.array([[1.0, 2.0], [3.0], [], [4.0, 5.0]], pa.list_(pa.float64())),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "tags": pa.array([["a"], ["b", "c"], ["d"]], pa.list_(pa.string())),
+        "w": pa.array([20, 30, 50], pa.int64()),
+    }))
+
+    inner = hash_join(left, right, on=["k"]).to_pandas().sort_values("k").reset_index(drop=True)
+    assert inner["k"].tolist() == [2, 3]
+    assert [list(x) for x in inner["vec"]] == [[3.0], []]
+    assert [list(x) for x in inner["tags"]] == [["a"], ["b", "c"]]
+    assert inner["w"].tolist() == [20, 30]
+
+    louter = hash_join(left, right, on=["k"], how="left").to_pandas().sort_values("k").reset_index(drop=True)
+    assert louter["k"].tolist() == [1, 2, 3, 4]
+    assert [list(x) for x in louter["vec"]] == [[1.0, 2.0], [3.0], [], [4.0, 5.0]]
+    assert louter["tags"].tolist()[0] is None and louter["tags"].tolist()[3] is None
+    assert [list(x) for x in louter["tags"].tolist()[1:3]] == [["a"], ["b", "c"]]
