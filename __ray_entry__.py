@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cur_remove_boilerplate": _q_remove_boilerplate,
         # --- training-sequence packing (greedy FFD, no SQL analogue) --------
         "cur_pack_sequences": _q_pack_sequences,
+        "cur_chunk_pack": _q_chunk_pack,
         # --- distributed BPE vocabulary training (iterative → rows-only,
         #     self-gated on the single-process Sennrich reference) -----------
         "bpe_vocab_merges": _q_bpe_vocab,
@@ -910,6 +911,38 @@ def _q_pack_sequences(sf_dir: str):
     if packed_total != corpus_total or budget_max > 512:
         raise AssertionError(
             f"packing gate: packed={packed_total} corpus={corpus_total} "
+            f"max_seq={budget_max}")
+    return out.select_columns(["seq_id", "n_docs", "total_tokens"])
+
+
+def _q_chunk_pack(sf_dir: str):
+    """The composed chunk→pack prep path (stages/chunking.chunk_then_pack):
+    documents chunked into 32-word windows (stride = width, non-overlapping)
+    then FFD-packed into <=128-token sequences — chunking is a doc-local map,
+    packing adds its one bucketed shuffle, composed as a single streaming
+    Dataset. Greedy packing is not relational → no SQL oracle; SELF-GATED on
+    exact token conservation ACROSS BOTH STAGES (Σ sequence tokens == corpus
+    whitespace-word total — stride==width makes the identity exact) and the
+    per-sequence budget bound, raising on any violation."""
+    from entity_resolution__ray.stages.chunking import chunk_then_pack
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = chunk_then_pack(docs, chunk_words=32, budget=128).materialize()
+
+    packed_total = out.sum("total_tokens")
+    budget_max = out.max("total_tokens")
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))
+        n = pc.list_value_length(pc.split_pattern_regex(txt, r"\s+"))
+        n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table({"n": pc.cast(n, pa.int64())})
+
+    corpus_total = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        tok_count, batch_format="pyarrow", zero_copy_batch=True).sum("n")
+    if packed_total != corpus_total or budget_max > 128:
+        raise AssertionError(
+            f"chunk→pack gate: packed={packed_total} corpus={corpus_total} "
             f"max_seq={budget_max}")
     return out.select_columns(["seq_id", "n_docs", "total_tokens"])
 

@@ -113,6 +113,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bpe_vocab_merges",     # distributed BPE training, 24 merge rounds (round 4)
         "cur_dsir_scores",      # DSIR hashed n-gram importance weights (round 4)
         "dedup_substring",      # exact substring dedup, rolling-hash windows (round 4)
+        "cur_chunk_pack",       # chunk→pack composed prep path, token-conservation gated (round 5)
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

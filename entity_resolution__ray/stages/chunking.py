@@ -110,3 +110,44 @@ def chunk_documents(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def chunk_then_pack(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 64,
+    stride_words: int | None = None,
+    budget: int = 2048,
+    num_buckets: int = 64,
+) -> Dataset:
+    """The composed RAG/pretraining prep path: chunk every document into word
+    windows, then FFD-pack the chunks into ≤ ``budget``-token training
+    sequences (stages/packing.pack_sequences) — the two stages a real
+    pipeline runs back to back, composed as ONE streaming Dataset (chunking
+    is doc-local map_batches; packing adds its single bucketed shuffle).
+
+    ``stride_words`` defaults to ``chunk_words`` (non-overlapping windows),
+    which makes token conservation EXACT across the whole composition:
+    Σ sequence.total_tokens == Σ per-doc word counts — the driver self-gate.
+    With overlap the identity still holds against the chunk table (every
+    chunk's words land in exactly one sequence), just not against raw docs.
+
+    Each chunk gets the synthetic int64 id ``doc_id·2³² + chunk_start``
+    (requires integer doc ids < 2³¹ — the engine's id-renumbering contract),
+    so sequences report exactly which (doc, offset) windows they contain."""
+    stride = stride_words if stride_words is not None else chunk_words
+    from .packing import pack_sequences
+
+    chunks = chunk_documents(ds, text_col=text_col, id_col=id_col,
+                             chunk_words=chunk_words, stride_words=stride)
+
+    def add_uid(t: pa.Table) -> pa.Table:
+        did = pc.cast(t[id_col], pa.int64())
+        uid = pc.add(pc.multiply(did, pa.scalar(1 << 32, pa.int64())),
+                     pc.cast(t["chunk_start"], pa.int64()))
+        return t.append_column("chunk_uid", uid)
+
+    keyed = chunks.map_batches(add_uid, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(keyed, text_col="chunk_text", id_col="chunk_uid",
+                          budget=budget, num_buckets=num_buckets)

@@ -74,3 +74,47 @@ def test_chunk_documents_dataset(ray_session):
     assert got == want
     # every chunk is non-empty and within bounds
     assert (out["n_chunk_words"] >= 1).all() and (out["n_chunk_words"] <= 8).all()
+
+
+def test_chunk_then_pack_token_conservation(ray_session):
+    """The composed chunk→pack pipeline: every source word lands in exactly
+    one training sequence (stride = chunk_words), every sequence respects
+    the budget, and the composition is deterministic."""
+    from entity_resolution__ray.stages.chunking import chunk_then_pack
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(f"w{rng.integers(0, 99)}" for _ in range(int(n)))
+             for n in rng.integers(0, 120, size=80)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(80)), "text": texts}))
+
+    out = chunk_then_pack(ds, chunk_words=16, budget=48, num_buckets=8).to_pandas()
+
+    n_words = sum(len(t.split()) for t in texts)
+    assert int(out["total_tokens"].sum()) == n_words  # exact conservation
+    assert (out["total_tokens"] <= 48).all()          # budget bound
+    assert int(out["n_docs"].sum()) == len(out["doc_ids"].explode().dropna())
+    # each chunk appears in exactly one sequence
+    uids = out["doc_ids"].explode().dropna()
+    assert uids.is_unique
+    # chunk uid decodes back to (doc_id, chunk_start) within range
+    did = uids.to_numpy().astype(np.int64) >> 32
+    assert np.isin(did, np.arange(80)).all()
+
+    # determinism: identical result on a re-run
+    out2 = chunk_then_pack(ds, chunk_words=16, budget=48, num_buckets=8).to_pandas()
+    a = out.sort_values("seq_id").reset_index(drop=True)
+    b = out2.sort_values("seq_id").reset_index(drop=True)
+    assert a["seq_id"].tolist() == b["seq_id"].tolist()
+    assert a["total_tokens"].tolist() == b["total_tokens"].tolist()
+    assert [list(x) for x in a["doc_ids"]] == [list(x) for x in b["doc_ids"]]
+
+
+def test_chunk_then_pack_overlap_conserves_chunk_words(ray_session):
+    # with overlap, conservation holds against the CHUNK table
+    from entity_resolution__ray.stages.chunking import chunk_documents, chunk_then_pack
+
+    texts = [" ".join(f"x{i}_{j}" for j in range(30)) for i in range(20)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(20)), "text": texts}))
+    chunks = chunk_documents(ds, chunk_words=8, stride_words=5).to_pandas()
+    out = chunk_then_pack(ds, chunk_words=8, stride_words=5, budget=32).to_pandas()
+    assert int(out["total_tokens"].sum()) == int(chunks["n_chunk_words"].sum())

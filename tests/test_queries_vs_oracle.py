@@ -139,6 +139,8 @@ def test_all_oracle_entries_have_queries(entry_mod):
 #   hll_distinct_users_by_type — probabilistic sketch; gated on exact distinct
 #   approx_quantiles_by_type — bottom-k sample; gated on exact-quantile bounds
 #   cur_pack_sequences       — greedy FFD packing; gated on capacity/coverage
+#   cur_chunk_pack           — chunk→pack composition; gated on exact token
+#                              conservation across both stages + budget bound
 #   semdedup_keep            — iterated k-means cells; gated on an exact
 #                              driver-side re-derivation of the greedy prune
 #   bpe_vocab_merges         — iterative BPE training; gated on exact merge-
@@ -148,6 +150,7 @@ ROWS_ONLY = {
     "hll_distinct_users_by_type",
     "approx_quantiles_by_type",
     "cur_pack_sequences",
+    "cur_chunk_pack",
     "semdedup_keep",
     "bpe_vocab_merges",
 }
