@@ -152,15 +152,67 @@ def _bucket_top1(df: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # training
 # ---------------------------------------------------------------------------
+def _explode_words(py_words: np.ndarray, lens: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """chars of each word + trailing END marker (Sennrich formulation).
+    Words are [a-z0-9]+ (ASCII) so byte == char: one C-level list() of the
+    joined buffer explodes every word at once."""
+    flat = np.array(list("".join(py_words)), dtype=object)
+    n = len(lens)
+    new_lens = lens + 1
+    out = np.empty(int(new_lens.sum()), dtype=object)
+    pos = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=pos[1:])
+    src = np.ones(len(out), dtype=bool)
+    src[pos[1:] - 1] = False  # last slot of each word = END
+    out[src] = flat
+    out[~src] = END
+    return out, new_lens
+
+
+def _local_top_pair(flat: np.ndarray, lens: np.ndarray, counts: np.ndarray):
+    """Most frequent adjacent pair over the in-memory symbol table, same
+    tie-break as the distributed reduce: (count desc, left asc, right asc).
+    Returns (left, right, count) or None when no pair exists."""
+    if len(flat) < 2:
+        return None
+    word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    valid = word_id[:-1] == word_id[1:]
+    li, ri = flat[:-1][valid], flat[1:][valid]
+    if len(li) == 0:
+        return None
+    w = counts[word_id[:-1][valid]]
+    key = pd.MultiIndex.from_arrays([li, ri])
+    codes, uniq = pd.factorize(key)
+    tot = np.bincount(codes, weights=w, minlength=len(uniq)).astype(np.int64)
+    order = np.lexsort((
+        uniq.get_level_values(1).to_numpy(), uniq.get_level_values(0).to_numpy(), -tot,
+    ))
+    best = order[0]
+    a, b = uniq[best]
+    return str(a), str(b), int(tot[best])
+
+
 def bpe_train(
     ds: Dataset,
     text_col: str = "text",
     n_merges: int = 32,
     min_count: int = 1,
     num_buckets: int = 16,
+    local_max_words: int = 65_536,
 ) -> List[Tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus (module docstring).
-    Deterministic: ties broken by (count desc, left asc, right asc)."""
+    Deterministic: ties broken by (count desc, left asc, right asc).
+
+    Probe-selected execution for the merge loop (the corpus word-count pass
+    is always distributed): the per-iteration state is the DISTINCT-WORD
+    symbol table — bounded by vocabulary, not corpus size — so when it holds
+    ≤ ``local_max_words`` words the loop runs on the driver with the same
+    vectorized kernels and tie-break (zero shuffles per round, vs 2 bounded
+    shuffles × ``n_merges`` rounds whose fixed cost dominates at small
+    vocabularies: measured ~0.3s/round of pure DAG overhead). Beyond the
+    threshold the Dataset loop runs as before — the 100-TB path, where the
+    word table itself is cluster-sized. Both paths are gated against the
+    single-process Sennrich reference."""
     from .blocking import bucketed_apply
 
     wc = word_counts(ds, text_col=text_col)
@@ -169,24 +221,32 @@ def bpe_train(
             lambda t: t.filter(pc.greater_equal(t["count"], min_count)),
             batch_format="pyarrow",
         )
+    wc = wc.materialize()
+    n_words = wc.count()
+
+    if n_words <= local_max_words:
+        df = wc.to_pandas()
+        if not len(df):
+            return []
+        py_words = df["word"].to_numpy(dtype=object)
+        counts = df["count"].to_numpy(np.int64)
+        wlens = np.fromiter((len(w) for w in py_words), dtype=np.int64, count=len(py_words))
+        flat, lens = _explode_words(py_words, wlens)
+        merges: List[Tuple[str, str]] = []
+        for _ in range(n_merges):
+            top = _local_top_pair(flat, lens, counts)
+            if top is None or top[2] < 1:
+                break
+            a, b = top[0], top[1]
+            merges.append((a, b))
+            flat, lens = _apply_merge(flat, lens, a, b)
+        return merges
 
     def to_symbols(t: pa.Table) -> pa.Table:
         words = t["word"].combine_chunks()
-        # chars of each word + trailing END marker (Sennrich formulation).
-        # words are [a-z0-9]+ (ASCII) so byte == char: one C-level list() of
-        # the joined buffer explodes every word at once.
         py_words = words.to_numpy(zero_copy_only=False)
         lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = np.array(list("".join(py_words)), dtype=object)
-        n = len(lens)
-        new_lens = lens + 1
-        out = np.empty(int(new_lens.sum()), dtype=object)
-        pos = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(new_lens, out=pos[1:])
-        src = np.ones(len(out), dtype=bool)
-        src[pos[1:] - 1] = False  # last slot of each word = END
-        out[src] = flat
-        out[~src] = END
+        out, new_lens = _explode_words(py_words, lens)
         return _to_symbol_table(out, new_lens, {"count": t["count"]})
 
     table = wc.map_batches(to_symbols, batch_format="pyarrow").materialize()

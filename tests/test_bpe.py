@@ -141,3 +141,15 @@ def test_bpe_train_min_count_prunes_tail(ray_session):
     want = ref_bpe(pruned, n_merges=10)
     got = bpe_train(corpus_ds(), n_merges=10, min_count=2)
     assert got == want
+
+
+def test_bpe_train_local_and_distributed_paths_agree(ray_session):
+    """The probe-selected driver-local merge loop must produce EXACTLY the
+    distributed loop's merges (and the reference's) — force each path via
+    local_max_words."""
+    wc = Counter(t for txt in CORPUS for t in ref_tokens(txt))
+    want = ref_bpe(dict(wc), n_merges=18)
+    local = bpe_train(corpus_ds(), n_merges=18, local_max_words=1 << 20)
+    distributed = bpe_train(corpus_ds(), n_merges=18, local_max_words=0)
+    assert local == want
+    assert distributed == want
