@@ -132,15 +132,35 @@ def kmeans_fit(
             _PartialSums(cref, vec_col), batch_format="pyarrow", zero_copy_batch=True
         )
 
-        def reduce_cells(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("cell", sort=False)
-            out = g.agg(n=("n", "sum"), inertia=("inertia", "sum")).reset_index()
-            out["vsum"] = g["vsum"].apply(
-                lambda s: np.sum(np.stack(s.to_numpy()), axis=0)
-            ).to_numpy()
-            return out
+        if k <= 4096:
+            # the partial table is ≤ k × blocks rows BY CONSTRUCTION (one row
+            # per cell present per batch) — a sketch, not data. Reducing it on
+            # the driver drops one all-to-all barrier PER ITERATION; measured
+            # ~0.3s/iter of pure fixed cost at fixture scale. The driver holds
+            # k×d sums (k=4096, d=768 → 25 MiB), never vectors.
+            pdf = partial.to_pandas()
+            cells_np = pdf["cell"].to_numpy()
+            uniq, remap = np.unique(cells_np, return_inverse=True)
+            V = np.stack(pdf["vsum"].to_numpy()) if len(pdf) else np.zeros((0, C.shape[1]))
+            sums_m = np.zeros((len(uniq), C.shape[1]), dtype=np.float64)
+            np.add.at(sums_m, remap, V)
+            totals = pd.DataFrame({
+                "cell": uniq,
+                "n": np.bincount(remap, weights=pdf["n"].to_numpy()).astype(np.int64),
+                "inertia": np.bincount(remap, weights=pdf["inertia"].to_numpy()),
+                "vsum": list(sums_m),
+            })
+        else:
 
-        totals = bucketed_apply(partial, ["cell"], reduce_cells, num_buckets=8).to_pandas()
+            def reduce_cells(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby("cell", sort=False)
+                out = g.agg(n=("n", "sum"), inertia=("inertia", "sum")).reset_index()
+                out["vsum"] = g["vsum"].apply(
+                    lambda s: np.sum(np.stack(s.to_numpy()), axis=0)
+                ).to_numpy()
+                return out
+
+            totals = bucketed_apply(partial, ["cell"], reduce_cells, num_buckets=8).to_pandas()
         newC = C.copy()  # empty cells keep their previous centroid
         cells = totals["cell"].to_numpy()
         counts = totals["n"].to_numpy().astype(np.float64)
