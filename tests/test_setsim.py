@@ -156,3 +156,18 @@ def test_set_similarity_join_brute_force_at_filter_heavy_thresholds(ray_session)
         got = {(int(r.id_left), int(r.id_right)): float(r.jaccard) for r in out.itertuples()}
         assert set(got) == set(want), f"threshold {threshold}"
         assert len(want) > 0
+
+
+def test_df_order_vocab_truncation_stays_exact(ray_session):
+    # max_vocab smaller than the hot-token count: truncation may only degrade
+    # candidate counts, never correctness (any consistent total order works)
+    rng = np.random.RandomState(13)
+    vocab = [f"v{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(4, 12))) for _ in range(40)]
+    texts += [texts[1], texts[7]]
+    want = _brute_force(texts, 0.5)
+    out = set_similarity_join(_docs_ds(texts), threshold=0.5, order="df",
+                              max_vocab=2).to_pandas()
+    got = {(int(r.id_left), int(r.id_right)) for r in out.itertuples()}
+    assert got == set(want)
+    assert len(want) > 0
