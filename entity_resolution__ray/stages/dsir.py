@@ -91,12 +91,25 @@ def bucket_counts(ds: Dataset, text_col: str = "text", n_buckets: int = 8191) ->
         return pa.table({"b": pa.array(nz), "c": pa.array(cnt[nz])})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # each batch emits ≤ n_buckets sketch rows; when n_buckets × input blocks
+    # is driver-sized, summing the partials on the driver drops the shuffle
+    # barrier entirely (the same sketch-to-driver shape as the Misra-Gries /
+    # Lloyd reduces). Unknown or huge block counts keep the bucketed reduce.
+    try:
+        n_blocks = ds.num_blocks()
+    except NotImplementedError:
+        n_blocks = None
+    out = np.zeros(n_buckets, dtype=np.int64)
+    if n_blocks is not None and n_buckets * n_blocks <= 2_000_000:
+        pdf = parts.to_pandas()
+        if len(pdf):
+            np.add.at(out, pdf["b"].to_numpy(), pdf["c"].to_numpy())
+        return out
     tot = bucketed_apply(
         parts, ["b"],
         lambda df: df.groupby("b", sort=False, as_index=False)["c"].sum(),
         num_buckets=8,
     ).to_pandas()
-    out = np.zeros(n_buckets, dtype=np.int64)
     out[tot["b"].to_numpy()] = tot["c"].to_numpy()
     return out
 

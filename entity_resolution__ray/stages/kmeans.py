@@ -132,12 +132,13 @@ def kmeans_fit(
             _PartialSums(cref, vec_col), batch_format="pyarrow", zero_copy_batch=True
         )
 
-        if k <= 4096:
-            # the partial table is ≤ k × blocks rows BY CONSTRUCTION (one row
-            # per cell present per batch) — a sketch, not data. Reducing it on
-            # the driver drops one all-to-all barrier PER ITERATION; measured
-            # ~0.3s/iter of pure fixed cost at fixture scale. The driver holds
-            # k×d sums (k=4096, d=768 → 25 MiB), never vectors.
+        # the partial table is ≤ k × blocks rows BY CONSTRUCTION (one row per
+        # cell present per batch) — a sketch, not data. When that product is
+        # driver-sized, reducing on the driver drops one all-to-all barrier
+        # PER ITERATION (~0.3s/iter of pure fixed cost at fixture scale); the
+        # driver holds k×d sums, never vectors. The guard includes the block
+        # count: at 10^6 blocks even k=4096 partials are not driver-sized.
+        if k * vecs.num_blocks() <= 2_000_000:
             pdf = partial.to_pandas()
             cells_np = pdf["cell"].to_numpy()
             uniq, remap = np.unique(cells_np, return_inverse=True)
