@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         # --- exact substring dedup (rolling-hash windows, content-defined) --
         "dedup_substring": _q_substring_pairs,
+        "dedup_substring_clusters": _q_substring_clusters,
         # --- exact set-similarity self-join (prefix filter, PPJoin-style) --
         "sj_bigram_join": _q_set_similarity_join,
         # embedding near-dup has no queries() entry ON PURPOSE: hyperplane-LSH
@@ -1135,6 +1136,20 @@ def _q_substring_pairs(sf_dir: str):
     return substring_dup_pairs(docs, window=32, mod_p=1)  # default = full pair set
 
 
+def _q_substring_clusters(sf_dir: str):
+    """Substring-dup CC clusters (stages/substring_dedup.substring_dup_clusters):
+    (doc_id, dup_group=min component id) over the shared-32-byte-run graph,
+    with the round-5 ``max_group_size="auto"`` probe engaged end to end —
+    the cap preserves group connectivity exactly, so the oracle's recursive
+    transitive closure over the FULL pair set matches whether or not the
+    probe decides to star-cap. Singleton docs keep themselves and are
+    omitted (same contract as dedup_minhash_lsh)."""
+    from entity_resolution__ray.stages.substring_dedup import substring_dup_clusters
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return substring_dup_clusters(docs, window=32, mod_p=1, max_group_size="auto")
+
+
 def _q_set_similarity_join(sf_dir: str):
     """Exact word-bigram-set Jaccard self-join at t=0.4 over documents
     (stages/setsim.set_similarity_join): prefix-filter candidates (complete
@@ -1802,6 +1817,33 @@ def oracle_sql() -> dict[str, str]:
             dw AS (SELECT DISTINCT doc_id, win FROM wins)
             SELECT DISTINCT a.doc_id AS id_left, c.doc_id AS id_right
             FROM dw a JOIN dw c ON a.win = c.win AND a.doc_id < c.doc_id
+        """,
+        # transitive closure over the full substring-pair set; the engine's
+        # auto star-cap preserves connectivity, so components (and their min
+        # ids) are invariant to the probe's decision
+        "dedup_substring_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, coalesce(text, '') AS b FROM documents
+              WHERE length(coalesce(text, '')) >= 32
+            ),
+            wins AS (
+              SELECT doc_id, substring(b, gs, 32) AS win
+              FROM (SELECT doc_id, b,
+                           unnest(generate_series(1, length(b) - 31, 1)) AS gs
+                    FROM d)
+            ),
+            dw AS (SELECT DISTINCT doc_id, win FROM wins),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+              FROM dw a JOIN dw c ON a.win = c.win AND a.doc_id < c.doc_id
+            ),
+            edges AS (SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs),
+            walk(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id WHERE w.label < e.v
+            )
+            SELECT id AS doc_id, min(label) AS dup_group FROM walk GROUP BY id
         """,
         # same featurization as stages/dsir.py: lowercase alnum unigrams +
         # adjacent bigrams, md5-prefix buckets mod 8191, integer-quantized

@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "km_assign_cells",
     "cur_dsir_scores",
     "dedup_substring",
+    "dedup_substring_clusters",
     "mm_image_pixel_stats",
     "w6_user_event_seq",
     "w7_value_quartile",
