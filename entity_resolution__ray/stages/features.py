@@ -53,9 +53,10 @@ def fit_pair_vectorizers(
 
     distributed=True (default): per-batch partial document-frequency maps are
     computed in ``map_batches`` (the expensive char-3-5-gram analysis runs on
-    workers), merged by a bucketed count, and only the final (term, df) table
-    comes to the driver. distributed=False streams raw texts to the driver —
-    kept for tiny inputs and as the semantics reference."""
+    workers) and summed on the driver — the vocabulary is a driver-held dict
+    regardless and the input is sample-bounded at scale, so a shuffle merge
+    would be a pure barrier. distributed=False streams raw texts to the
+    driver — kept for tiny inputs and as the semantics reference."""
     vw = pair_word_tfidf()
     vc = pair_char_tfidf()
     ds = norm_docs.select_columns(["norm_text"])
@@ -63,10 +64,6 @@ def fit_pair_vectorizers(
         ds = ds.limit(sample_limit)
 
     if distributed:
-        import pandas as _pd
-
-        from .blocking import bucketed_apply
-
         n = ds.count()
         vw_a = pair_word_tfidf()
         vc_a = pair_char_tfidf()
@@ -87,17 +84,25 @@ def fit_pair_vectorizers(
                  "df": pa.array(vals, type=pa.int64())}
             )
 
-        partials = ds.map_batches(partial_df, batch_format="pyarrow", batch_size=4096)
-        merged = bucketed_apply(
-            partials, ["kind", "term"],
-            lambda g: g.groupby(["kind", "term"], as_index=False).agg(df=("df", "sum")),
-            num_buckets=32,
-        )
-        dfreq_w: Dict[str, int] = {}
-        dfreq_c: Dict[str, int] = {}
-        for b in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for k, term, df in zip(b["kind"].to_pylist(), b["term"].to_pylist(), b["df"].to_pylist()):
-                (dfreq_w if k == "w" else dfreq_c)[term] = df
+        # batch_size bounds task parallelism (n_docs / batch_size tasks):
+        # 4096 left a 5k-doc fit on two cores while 30 idled. 512 trades a
+        # little partial-row duplication (terms recounted across batches)
+        # for ~n/512-way analysis parallelism — the analyze() calls are the
+        # compute; the duplicated rows are summed in one driver groupby.
+        partials = ds.map_batches(partial_df, batch_format="pyarrow", batch_size=512)
+        # merge the per-batch partials directly on the driver: the vocabulary
+        # lands in a driver-side dict REGARDLESS (the fitted vectorizers are
+        # broadcast objects), and the fit input is sample-bounded at scale
+        # (ERConfig.vectorizer_sample_limit), so the bucketed shuffle was a
+        # full barrier producing a table the driver re-read row by row anyway
+        pdf = partials.to_pandas()
+        agg = pdf.groupby(["kind", "term"], as_index=False, sort=False)["df"].sum()
+        kinds = agg["kind"].to_numpy()
+        terms = agg["term"].to_numpy()
+        dfs = agg["df"].to_numpy()
+        wmask = kinds == "w"
+        dfreq_w: Dict[str, int] = dict(zip(terms[wmask], (int(x) for x in dfs[wmask])))
+        dfreq_c: Dict[str, int] = dict(zip(terms[~wmask], (int(x) for x in dfs[~wmask])))
         vw.fit_from_document_frequencies(dfreq_w, n)
         vc.fit_from_document_frequencies(dfreq_c, n)
         return vw, vc
