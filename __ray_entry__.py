@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_pixel_stats": _q_image_pixel_stats,
         # --- distributed k-means: seeded assignment step (exact SQL oracle) -
         "km_assign_cells": _q_kmeans_assign,
+        # --- C8 cluster re-wiring (vectorized chain/star, exact SQL oracle) -
+        "g1_cluster_chain_edges": _q_cluster_chain_edges,
+        "g2_cluster_star_edges": _q_cluster_star_edges,
         # --- SemDeDup semantic near-dedup (iterated k-means → rows-only,
         #     self-gated on an exact driver-side re-derivation) --------------
         "semdedup_keep": _q_semdedup,
@@ -483,6 +486,33 @@ def _q_connected_components(sf_dir: str):
     edges = ds.groupby("source").map_groups(chain, batch_format="pandas")
     out = cc_clusters(edges, num_partitions=8, renumber="dense")
     return out
+
+
+def _q_cluster_chain_edges(sf_dir: str):
+    """C8 chain re-wiring (stages/clustering.cluster_graph_edges, vectorized
+    round 5): each source group re-wired as a chain over its lexically
+    sorted string member ids, weight 1.0. Oracle: LAG window per source."""
+    from entity_resolution__ray.stages.clustering import cluster_graph_edges
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        lambda t: pa.table({"node_id": pc.cast(t["doc_id"], pa.string()),
+                            "cluster_id": t["source"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return cluster_graph_edges(ds, "chain")
+
+
+def _q_cluster_star_edges(sf_dir: str):
+    """C8 star re-wiring: min-member hub per source group. Oracle: window
+    min per source, one spoke per non-hub member."""
+    from entity_resolution__ray.stages.clustering import cluster_graph_edges
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        lambda t: pa.table({"node_id": pc.cast(t["doc_id"], pa.string()),
+                            "cluster_id": t["source"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return cluster_graph_edges(ds, "star")
 
 
 def _q_tumbling_window(sf_dir: str):
@@ -1695,6 +1725,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(c.doc_id AS VARCHAR) AS node_id, i.cluster_id, c.csize AS cluster_size
             FROM comp c JOIN ids i ON c.root = i.root
             WHERE c.csize >= 2
+        """,
+        # lexicographic string order on both sides (the engine sorts string
+        # node ids; DuckDB ORDER BY on VARCHAR is the same byte order here)
+        "g1_cluster_chain_edges": """
+            WITH m AS (SELECT source, CAST(doc_id AS VARCHAR) AS n FROM documents),
+            o AS (SELECT source, n,
+                         lag(n) OVER (PARTITION BY source ORDER BY n) AS p
+                  FROM m)
+            SELECT p AS u, n AS v, 1.0 AS weight FROM o WHERE p IS NOT NULL
+        """,
+        "g2_cluster_star_edges": """
+            WITH m AS (SELECT source, CAST(doc_id AS VARCHAR) AS n FROM documents),
+            o AS (SELECT source, n, min(n) OVER (PARTITION BY source) AS hub FROM m)
+            SELECT hub AS u, n AS v, 1.0 AS weight FROM o WHERE n <> hub
         """,
         "cur_stratified_sample": """
             SELECT doc_id, source FROM (

@@ -102,6 +102,8 @@ SQL_CHECKED = [
     "w5_running_sum",
     "cur_train_split",
     "km_assign_cells",
+    "g1_cluster_chain_edges",
+    "g2_cluster_star_edges",
     "cur_dsir_scores",
     "dedup_substring",
     "dedup_substring_clusters",
