@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- C8 cluster re-wiring (vectorized chain/star, exact SQL oracle) -
         "g1_cluster_chain_edges": _q_cluster_chain_edges,
         "g2_cluster_star_edges": _q_cluster_star_edges,
+        "g3_edges_from_predictions": _q_edges_from_predictions,
         # --- SemDeDup semantic near-dedup (iterated k-means → rows-only,
         #     self-gated on an exact driver-side re-derivation) --------------
         "semdedup_keep": _q_semdedup,
@@ -513,6 +514,32 @@ def _q_cluster_star_edges(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return cluster_graph_edges(ds, "star")
+
+
+def _q_edges_from_predictions(sf_dir: str):
+    """C6 graph-from-predictions (stages/clustering.edges_from_predictions):
+    thresholded, self-loop-free, keep-max-weight edge build — the
+    reference's nx.Graph construction as a composition. Input: two
+    deterministic scored rows per doc over the same (src, dst) key with
+    probs k/128 (exact binary fractions — no cross-engine rounding
+    surface), so the keep-max actually resolves duplicates."""
+    from entity_resolution__ray.stages.clustering import edges_from_predictions
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = d * 7 + 3
+        p1 = (d % 97) / 128.0
+        p2 = (d % 53) / 128.0
+        return pa.table({
+            "id_left": pa.array(np.concatenate([d, d])),
+            "id_right": pa.array(np.concatenate([dst, dst])),
+            "prob_match": pa.array(np.concatenate([p1, p2])),
+        })
+
+    pairs = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return edges_from_predictions(pairs, keep_threshold=0.45)
 
 
 def _q_tumbling_window(sf_dir: str):
@@ -1739,6 +1766,18 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (SELECT source, CAST(doc_id AS VARCHAR) AS n FROM documents),
             o AS (SELECT source, n, min(n) OVER (PARTITION BY source) AS hub FROM m)
             SELECT hub AS u, n AS v, 1.0 AS weight FROM o WHERE n <> hub
+        """,
+        # probs are k/128 (exact binary fractions) so no rounding surface
+        "g3_edges_from_predictions": """
+            WITH p AS (
+              SELECT doc_id AS id_left, doc_id * 7 + 3 AS id_right,
+                     (doc_id % 97) / 128.0 AS prob_match FROM documents
+              UNION ALL
+              SELECT doc_id, doc_id * 7 + 3, (doc_id % 53) / 128.0 FROM documents
+            )
+            SELECT id_left, id_right, max(prob_match) AS weight
+            FROM p WHERE prob_match >= 0.45 AND id_left <> id_right
+            GROUP BY id_left, id_right
         """,
         "cur_stratified_sample": """
             SELECT doc_id, source FROM (

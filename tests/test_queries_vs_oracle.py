@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "km_assign_cells",
     "g1_cluster_chain_edges",
     "g2_cluster_star_edges",
+    "g3_edges_from_predictions",
     "cur_dsir_scores",
     "dedup_substring",
     "dedup_substring_clusters",
